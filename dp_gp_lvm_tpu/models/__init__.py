@@ -1,0 +1,9 @@
+from dp_gp_lvm_tpu.models import (  # noqa: F401
+    bound,
+    bgplvm,
+    dp_gp_lvm,
+    gp_regression,
+    mrd,
+    prediction,
+    sparse_gp,
+)

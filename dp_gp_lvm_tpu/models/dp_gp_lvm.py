@@ -1,0 +1,164 @@
+r"""DP-GP-LVM — Dirichlet-process mixture over output dimensions.
+
+(Lawrence, Ek & Campbell; SURVEY.md section 2a 'DP-GP-LVM', call stack 3.2.)
+Each output dimension d carries a latent assignment z_d to one of T
+truncation atoms; each atom t owns its own ARD-RBF hyperparameters, noise,
+and inducing inputs, while all atoms share the latent posterior q(X). The
+model therefore infers *groups of output dimensions with shared dependency
+structure* through the atoms' ARD weights.
+
+    ELBO = sum_{d,t} phi_dt F_dt                       (phi-weighted fits)
+         + sum_d E_q[log p(z_d | v)] + H[q(z)]          (assignments)
+         - KL[q(v) || p(v | alpha)]                     (sticks)
+         - KL[q(X) || N(0, I)]                          (latents)
+
+TPU mapping: the per-atom psi statistics, K_uu, Cholesky factorizations and
+triangular solves are vmapped over T — XLA lowers them as batched MXU ops —
+instead of the reference's per-atom graph unrolling. phi is optimized by
+gradient (softmax logits) inside the same single jitted program; closed-form
+CAVI updates for (gamma, phi) are provided as optional coordinate steps.
+
+Params (unconstrained pytree):
+    qx_mean (N, Q), raw_qx_var (N, Q),
+    z (T, M, Q), raw_variance (T,), raw_ard (T, Q), raw_noise (T,),
+    phi_logits (D, T), raw_gamma1 (T-1,), raw_gamma2 (T-1,).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dp_gp_lvm_tpu.core.transforms import positive, positive_inverse
+from dp_gp_lvm_tpu.core.types import JitterPolicy
+from dp_gp_lvm_tpu.distributions import gaussian, stick_breaking
+from dp_gp_lvm_tpu.kernels import ard_rbf
+from dp_gp_lvm_tpu.models.bound import collapsed_bound, suff_stats_from_psi
+from dp_gp_lvm_tpu.train.init import (
+    inducing_from_latents,
+    near_uniform_assignments,
+    pca_latents,
+)
+
+
+class Config(NamedTuple):
+    num_latent: int
+    num_inducing: int
+    truncation: int          # T
+    alpha: float = 1.0       # DP concentration
+    psi2_block: int | None = None
+
+
+def init_params(rng, Y, config: Config):
+    dtype = Y.dtype
+    t, q = config.truncation, config.num_latent
+    d = Y.shape[1]
+    r_z, r_phi, r_hyp = jax.random.split(rng, 3)
+    x0 = pca_latents(Y, q).astype(dtype)
+    z0 = inducing_from_latents(r_z, x0, config.num_inducing)
+    # small per-atom jitter on hypers breaks atom symmetry
+    ard0 = jnp.ones((t, q), dtype) * (
+        1.0 + 0.05 * jax.random.normal(r_hyp, (t, q), dtype)
+    )
+    return {
+        "qx_mean": x0,
+        "raw_qx_var": positive_inverse(0.5 * jnp.ones_like(x0)),
+        "z": jnp.broadcast_to(z0, (t,) + z0.shape).copy(),
+        "raw_variance": positive_inverse(jnp.ones((t,), dtype)),
+        "raw_ard": positive_inverse(jnp.maximum(ard0, 0.1)),
+        "raw_noise": positive_inverse(jnp.full((t,), 0.1, dtype)),
+        "phi_logits": near_uniform_assignments(r_phi, d, t).astype(dtype),
+        "raw_gamma1": positive_inverse(jnp.ones((t - 1,), dtype)),
+        "raw_gamma2": positive_inverse(
+            jnp.full((t - 1,), config.alpha, dtype)
+        ),
+    }
+
+
+def constrain(params):
+    return {
+        "qx_mean": params["qx_mean"],
+        "qx_var": positive(params["raw_qx_var"]),
+        "z": params["z"],
+        "variance": positive(params["raw_variance"]),
+        "ard": positive(params["raw_ard"]),
+        "noise": positive(params["raw_noise"]),
+        "phi": jax.nn.softmax(params["phi_logits"], axis=-1),
+        "gamma1": positive(params["raw_gamma1"]),
+        "gamma2": positive(params["raw_gamma2"]),
+    }
+
+
+def per_dim_atom_bound(
+    hyp, Y, config: Config, policy: JitterPolicy = JitterPolicy()
+):
+    """F in R^{T x D}: per-atom, per-dimension collapsed free energies.
+
+    vmapped over atoms: batched psi stats, batched chol/solves on the MXU.
+    """
+    mu, s = hyp["qx_mean"], hyp["qx_var"]
+
+    def atom_bound(variance, ard, z, noise):
+        p0, p1, p2 = ard_rbf.psi_stats(
+            variance, ard, mu, s, z, block_n=config.psi2_block
+        )
+        kuu = ard_rbf.gram(variance, ard, z)
+        stats = suff_stats_from_psi(p0, p1, p2, Y)
+        return collapsed_bound(kuu, stats, noise, policy).per_dim  # (D,)
+
+    return jax.vmap(atom_bound)(
+        hyp["variance"], hyp["ard"], hyp["z"], hyp["noise"]
+    )  # (T, D)
+
+
+def elbo_terms(params, Y, config: Config, policy: JitterPolicy = JitterPolicy()):
+    hyp = constrain(params)
+    f_td = per_dim_atom_bound(hyp, Y, config, policy)     # (T, D)
+    phi = hyp["phi"]                                      # (D, T)
+    fit = jnp.sum(phi * f_td.T)
+    dp = stick_breaking.dp_kl_terms(
+        phi, hyp["gamma1"], hyp["gamma2"], jnp.asarray(config.alpha, Y.dtype)
+    )
+    kl_x = gaussian.kl_to_standard_normal(hyp["qx_mean"], hyp["qx_var"])
+    return {
+        "elbo": fit + dp - kl_x,
+        "fit": fit,
+        "dp_terms": dp,
+        "kl_x": kl_x,
+        "f_td": f_td,
+    }
+
+
+def elbo(params, Y, config: Config, policy: JitterPolicy = JitterPolicy()):
+    return elbo_terms(params, Y, config, policy)["elbo"]
+
+
+def loss(params, Y, config: Config):
+    return -elbo(params, Y, config)
+
+
+def cavi_step(params, Y, config: Config, policy: JitterPolicy = JitterPolicy()):
+    """Closed-form coordinate updates for (phi, gamma) at fixed other params.
+
+    Returns params with phi_logits and raw_gamma replaced by their CAVI
+    optima — usable interleaved with Adam steps on the remaining params.
+    """
+    hyp = constrain(params)
+    f_td = per_dim_atom_bound(hyp, Y, config, policy)
+    phi = stick_breaking.phi_cavi_update(
+        f_td.T, hyp["gamma1"], hyp["gamma2"]
+    )
+    g1, g2 = stick_breaking.gamma_cavi_update(
+        phi, jnp.asarray(config.alpha, Y.dtype)
+    )
+    out = dict(params)
+    out["phi_logits"] = jnp.log(jnp.maximum(phi, 1e-30))
+    out["raw_gamma1"] = positive_inverse(g1)
+    out["raw_gamma2"] = positive_inverse(g2)
+    return out
+
+
+def expected_assignments(params):
+    """phi (D, T): posterior over output-dimension group assignments."""
+    return jax.nn.softmax(params["phi_logits"], axis=-1)

@@ -1,0 +1,326 @@
+r"""Test-time latent inference and missing-data prediction (imputation).
+
+Implements SURVEY.md call stack 3.3 / BASELINE config 5: given a trained
+model and test points y* with only a subset `o` of output dims observed,
+
+  1. hold the trained model fixed and fit q(x*) = N(m*, diag(s*)) per test
+     point by maximizing the uncollapsed variational objective
+
+        L(q(x*)) = sum_{d in o} E_{q(x*) q(u_d)}[log N(y*_d | k_*u K_uu^{-1}
+                   u_d, sigma^2)]  - 1/(2 sigma^2)(psi0* - tr(K_uu^{-1}
+                   psi2*)) terms  - KL[q(x*) || N(0, I)],
+
+     with q(u_d) the trained optimal collapsed posterior (Titsias &
+     Lawrence 2010, section 4 test inference); the whole inner optimization
+     is a jitted optax/`lax.scan` loop — no Python in the hot path;
+
+  2. predict the missing dims m via the psi-statistic moments of q(x*):
+
+        E[y*_d]   = psi1* w_d
+        Var[y*_d] = sigma^2 + psi0* - tr(K^{-1} psi2*) + tr(Sigma_B psi2*)
+                    + w_d^T psi2* w_d - (psi1* w_d)^2,
+
+     where w_d = K_uu^{-1} m_u^{(d)} and Sigma_B = (K_uu + beta Psi2)^{-1}.
+
+For DP-GP-LVM the same machinery runs vmapped per atom and predictions mix
+over atoms with the dimension's assignment posterior phi_d.
+
+Masks are dense (N*, D) 0/1 arrays — static shapes, TPU-friendly; a dim is
+"observed" where mask = 1.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dp_gp_lvm_tpu.core.transforms import positive, positive_inverse
+from dp_gp_lvm_tpu.core.types import JitterPolicy
+from dp_gp_lvm_tpu.distributions import gaussian
+from dp_gp_lvm_tpu.kernels import ard_rbf
+from dp_gp_lvm_tpu.linalg import tri_solve
+from dp_gp_lvm_tpu.models import bgplvm, dp_gp_lvm
+from dp_gp_lvm_tpu.models.bound import optimal_qu, suff_stats_from_psi
+
+
+class PosteriorCache(NamedTuple):
+    """Trained-model quantities reused across all test-time computation."""
+
+    w: jnp.ndarray        # (M, D) K_uu^{-1} m_u per dim
+    L: jnp.ndarray        # (M, M) chol(K_uu)
+    LB: jnp.ndarray       # (M, M) chol(I + beta L^{-1} Psi2 L^{-T})
+    variance: jnp.ndarray
+    ard: jnp.ndarray      # (Q,)
+    z: jnp.ndarray        # (M, Q)
+    noise: jnp.ndarray
+
+
+def bgplvm_posterior(params, Y, config: bgplvm.Config,
+                     policy: JitterPolicy = JitterPolicy()) -> PosteriorCache:
+    hyp = bgplvm.constrain(params)
+    p0, p1, p2 = ard_rbf.psi_stats(
+        hyp["variance"], hyp["ard"], hyp["qx_mean"], hyp["qx_var"],
+        hyp["z"], block_n=config.psi2_block,
+    )
+    kuu = ard_rbf.gram(hyp["variance"], hyp["ard"], hyp["z"])
+    stats = suff_stats_from_psi(p0, p1, p2, Y)
+    w, L, LB = optimal_qu(kuu, stats, hyp["noise"], policy)
+    return PosteriorCache(
+        w=w, L=L, LB=LB, variance=hyp["variance"], ard=hyp["ard"],
+        z=hyp["z"], noise=hyp["noise"],
+    )
+
+
+def _test_psi(cache: PosteriorCache, m_star, s_star):
+    """psi statistics of the test points: psi0* (N*,), psi1* (N*, M),
+    psi2* (N*, M, M) — per-point (no sum over n)."""
+    p1 = ard_rbf.psi1(cache.variance, cache.ard, m_star, s_star, cache.z)
+    # per-point psi2: reuse the block formulation with each point its own block
+    def one(mu_n, s_n):
+        return ard_rbf.psi2(
+            cache.variance, cache.ard, mu_n[None], s_n[None], cache.z
+        )
+    p2 = jax.vmap(one)(m_star, s_star)               # (N*, M, M)
+    p0 = jnp.full((m_star.shape[0],), 1.0, m_star.dtype) * cache.variance
+    return p0, p1, p2
+
+
+def _trace_terms(cache: PosteriorCache, p2_star):
+    """tr(K^{-1} psi2*) and tr(Sigma_B psi2*) per test point (N*,)."""
+    def per_point(p2):
+        half = tri_solve(cache.L, p2)                   # L^{-1} psi2*
+        a = tri_solve(cache.L, half.T)                  # L^{-1} psi2* L^{-T}
+        tr_kinv = jnp.trace(a)
+        b = tri_solve(cache.LB, a)
+        c = tri_solve(cache.LB, b.T)                    # LB^{-1} . LB^{-T}
+        tr_sigma_b = jnp.trace(c)
+        return tr_kinv, tr_sigma_b
+
+    return jax.vmap(per_point)(p2_star)
+
+
+def predict_from_latent(cache: PosteriorCache, m_star, s_star):
+    """Predictive mean (N*, D) and per-dim variance (N*, D) incl. noise."""
+    p0, p1, p2 = _test_psi(cache, m_star, s_star)
+    mean = p1 @ cache.w                                  # (N*, D)
+    tr_kinv, tr_sigma_b = _trace_terms(cache, p2)
+    # w^T psi2* w per (point, dim)
+    quad = jnp.einsum("nij,id,jd->nd", p2, cache.w, cache.w)
+    common = (p0 - tr_kinv + tr_sigma_b)[:, None]
+    var = cache.noise + common + quad - mean * mean
+    return mean, jnp.maximum(var, 1e-12)
+
+
+def _expected_loglik(cache: PosteriorCache, y, mask, m_star, s_star):
+    """sum over observed dims of E_{q(x*) q(u)}[log N(y_d | f_d, noise)]."""
+    p0, p1, p2 = _test_psi(cache, m_star, s_star)
+    mean = p1 @ cache.w
+    tr_kinv, tr_sigma_b = _trace_terms(cache, p2)
+    quad = jnp.einsum("nij,id,jd->nd", p2, cache.w, cache.w)
+    beta = 1.0 / cache.noise
+    # E[(y - a(x)^T u)^2] = y^2 - 2 y psi1 w + w^T psi2 w + tr(Sigma_B psi2)
+    # + conditional-GP variance correction (psi0 - tr(K^{-1} psi2)).
+    sq = (
+        y * y
+        - 2.0 * y * mean
+        + quad
+        + (tr_sigma_b + p0 - tr_kinv)[:, None]
+    )
+    ll = -0.5 * (
+        jnp.log(2.0 * jnp.pi).astype(y.dtype)
+        + jnp.log(cache.noise)
+        + beta * sq
+    )
+    return jnp.sum(ll * mask)
+
+
+def init_latent_from_nearest(qx_mean, Y, y_star, mask):
+    """m* init: latent mean of the masked-nearest training point."""
+    d2 = jnp.sum(
+        mask[:, None, :] * (y_star[:, None, :] - Y[None, :, :]) ** 2, axis=-1
+    )  # (N*, N)
+    idx = jnp.argmin(d2, axis=-1)
+    return qx_mean[idx]
+
+
+def infer_latent(
+    cache: PosteriorCache,
+    y_star,
+    mask,
+    m_init,
+    num_steps: int = 200,
+    lr: float = 0.05,
+):
+    """Optimize q(x*) = N(m*, diag(s*)) by Adam inside one jitted scan."""
+    dtype = y_star.dtype
+    var_params = {
+        "m": m_init.astype(dtype),
+        "raw_s": positive_inverse(0.1 * jnp.ones_like(m_init)).astype(dtype),
+    }
+    opt = optax.adam(lr)
+
+    def objective(vp):
+        s = positive(vp["raw_s"])
+        ell = _expected_loglik(cache, y_star, mask, vp["m"], s)
+        kl = gaussian.kl_to_standard_normal(vp["m"], s)
+        return -(ell - kl)
+
+    def step(carry, _):
+        vp, opt_state = carry
+        val, g = jax.value_and_grad(objective)(vp)
+        updates, opt_state = opt.update(g, opt_state)
+        vp = optax.apply_updates(vp, updates)
+        return (vp, opt_state), val
+
+    (vp, _), trace = jax.lax.scan(
+        step, (var_params, opt.init(var_params)), None, length=num_steps
+    )
+    return vp["m"], positive(vp["raw_s"]), -trace
+
+
+def impute_bgplvm(
+    params,
+    Y,
+    config: bgplvm.Config,
+    y_star,
+    mask,
+    num_steps: int = 200,
+    lr: float = 0.05,
+):
+    """Full config-5 pipeline for Bayesian GP-LVM: infer q(x*), predict all
+    dims; returns (mean, var, m*, s*, objective trace). Metrics on the
+    missing dims (mask == 0) are the caller's slice."""
+    cache = bgplvm_posterior(params, Y, config)
+    m0 = init_latent_from_nearest(params["qx_mean"], Y, y_star, mask)
+    m_s, s_s, trace = infer_latent(cache, y_star, mask, m0, num_steps, lr)
+    mean, var = predict_from_latent(cache, m_s, s_s)
+    return mean, var, m_s, s_s, trace
+
+
+# ---------------------------------------------------------------------------
+# DP-GP-LVM: per-atom caches, phi-mixed predictions
+# ---------------------------------------------------------------------------
+
+
+def dp_posterior(params, Y, config: dp_gp_lvm.Config,
+                 policy: JitterPolicy = JitterPolicy()):
+    """Batched PosteriorCache over atoms (leading axis T) + phi (D, T)."""
+    hyp = dp_gp_lvm.constrain(params)
+    mu, s = hyp["qx_mean"], hyp["qx_var"]
+
+    def one_atom(variance, ard, z, noise):
+        p0, p1, p2 = ard_rbf.psi_stats(
+            variance, ard, mu, s, z, block_n=config.psi2_block
+        )
+        kuu = ard_rbf.gram(variance, ard, z)
+        stats = suff_stats_from_psi(p0, p1, p2, Y)
+        w, L, LB = optimal_qu(kuu, stats, noise, policy)
+        return PosteriorCache(
+            w=w, L=L, LB=LB, variance=variance, ard=ard, z=z, noise=noise
+        )
+
+    caches = jax.vmap(one_atom)(
+        hyp["variance"], hyp["ard"], hyp["z"], hyp["noise"]
+    )
+    return caches, hyp["phi"]
+
+
+def dp_predict_from_latent(caches: PosteriorCache, phi, m_star, s_star):
+    """Mixture predictive: mean/var (N*, D) mixing atoms by phi (D, T)."""
+    means, vars_ = jax.vmap(
+        lambda c: predict_from_latent(c, m_star, s_star)
+    )(caches)                                            # (T, N*, D) each
+    w = phi.T[:, None, :]                                # (T, 1, D)
+    mean = jnp.sum(w * means, axis=0)
+    second = jnp.sum(w * (vars_ + means * means), axis=0)
+    return mean, jnp.maximum(second - mean * mean, 1e-12)
+
+
+def dp_infer_latent(
+    caches: PosteriorCache,
+    phi,
+    y_star,
+    mask,
+    m_init,
+    num_steps: int = 200,
+    lr: float = 0.05,
+):
+    """q(x*) inference under the DP mixture: phi-weighted expected log-lik."""
+    var_params = {
+        "m": m_init,
+        "raw_s": positive_inverse(0.1 * jnp.ones_like(m_init)),
+    }
+    opt = optax.adam(lr)
+
+    def objective(vp):
+        s = positive(vp["raw_s"])
+
+        def per_atom_ll(c):
+            # per-(point, dim) expected log-lik pieces for this atom
+            p0, p1, p2 = _test_psi(c, vp["m"], s)
+            mean = p1 @ c.w
+            tr_kinv, tr_sigma_b = _trace_terms(c, p2)
+            quad = jnp.einsum("nij,id,jd->nd", p2, c.w, c.w)
+            beta = 1.0 / c.noise
+            sq = (
+                y_star * y_star
+                - 2.0 * y_star * mean
+                + quad
+                + (tr_sigma_b + p0 - tr_kinv)[:, None]
+            )
+            return -0.5 * (
+                jnp.log(2.0 * jnp.pi).astype(y_star.dtype)
+                + jnp.log(c.noise)
+                + beta * sq
+            )  # (N*, D)
+
+        ll_t = jax.vmap(per_atom_ll)(caches)             # (T, N*, D)
+        ll = jnp.sum(ll_t * phi.T[:, None, :], axis=0)   # (N*, D)
+        ell = jnp.sum(ll * mask)
+        kl = gaussian.kl_to_standard_normal(vp["m"], s)
+        return -(ell - kl)
+
+    def step(carry, _):
+        vp, opt_state = carry
+        val, g = jax.value_and_grad(objective)(vp)
+        updates, opt_state = opt.update(g, opt_state)
+        vp = optax.apply_updates(vp, updates)
+        return (vp, opt_state), val
+
+    (vp, _), trace = jax.lax.scan(
+        step, (var_params, opt.init(var_params)), None, length=num_steps
+    )
+    return vp["m"], positive(vp["raw_s"]), -trace
+
+
+def impute_dp(
+    params,
+    Y,
+    config: dp_gp_lvm.Config,
+    y_star,
+    mask,
+    num_steps: int = 200,
+    lr: float = 0.05,
+):
+    """Config-5 pipeline for DP-GP-LVM."""
+    caches, phi = dp_posterior(params, Y, config)
+    m0 = init_latent_from_nearest(params["qx_mean"], Y, y_star, mask)
+    m_s, s_s, trace = dp_infer_latent(
+        caches, phi, y_star, mask, m0, num_steps, lr
+    )
+    mean, var = dp_predict_from_latent(caches, phi, m_s, s_s)
+    return mean, var, m_s, s_s, trace
+
+
+def gaussian_predictive_loglik(y_true, mean, var, mask):
+    """Moment-matched per-dim predictive log-likelihood, summed over the
+    entries selected by mask (use mask = 1 - observed_mask for imputation).
+    The paper's quality metric (SURVEY.md section 6)."""
+    ll = -0.5 * (
+        jnp.log(2.0 * jnp.pi).astype(mean.dtype)
+        + jnp.log(var)
+        + (y_true - mean) ** 2 / var
+    )
+    return jnp.sum(ll * mask)

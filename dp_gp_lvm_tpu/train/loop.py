@@ -1,0 +1,109 @@
+"""Training: one fused jit-compiled ELBO + gradient + update step.
+
+Replaces the reference's `sess.run(train_op)` loop (SURVEY.md call stack
+3.1): the whole loop body — psi statistics, Cholesky factorizations, bound,
+backward pass, optax update — is a single XLA program; multi-step training
+uses `lax.scan` so even the Python-loop overhead disappears for benchmark
+runs. Works for any model module exposing `loss(params, data, config)`.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_step_fn(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Return jitted `step(state, *data) -> (state, metrics)`."""
+
+    def step(state: TrainState, *data):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, *data)
+        updates, opt_state = optimizer.update(grads, state.opt_state)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = {"loss": loss, "elbo": -loss, "grad_norm": gnorm}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def init_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.asarray(0))
+
+
+def make_multi_step_fn(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    num_inner: int,
+):
+    """`multi_step(state, *data)` runs num_inner optimizer steps in one XLA
+    program via lax.scan — the benchmark configuration."""
+
+    def one(state, *data):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, *data)
+        updates, opt_state = optimizer.update(grads, state.opt_state)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def multi_step(state: TrainState, *data):
+        def body(s, _):
+            return one(s, *data)
+
+        state, losses = jax.lax.scan(body, state, None, length=num_inner)
+        return state, losses
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
+def fit(
+    loss_fn: Callable,
+    params,
+    data: tuple,
+    num_steps: int,
+    lr: float = 1e-2,
+    log_every: int = 0,
+    callback: Callable | None = None,
+):
+    """Convenience trainer. Returns (params, history dict of arrays).
+
+    For production runs prefer make_multi_step_fn + checkpointing
+    (train/checkpoint.py); this helper is for tests and experiments.
+    """
+    optimizer = optax.adam(lr)
+    step = make_step_fn(loss_fn, optimizer, donate=False)
+    state = init_state(params, optimizer)
+    elbos = []
+    for i in range(num_steps):
+        state, metrics = step(state, *data)
+        if log_every and (i % log_every == 0 or i == num_steps - 1):
+            e = float(metrics["elbo"])
+            elbos.append(e)
+            if callback is not None:
+                callback(i, e, metrics)
+    return state.params, {"elbo": elbos}
+
+
+def time_steps(step_fn, state, data: tuple, num_steps: int, warmup: int = 2):
+    """Wall-clock seconds per step, excluding compile (BASELINE metric)."""
+    for _ in range(warmup):
+        state, m = step_fn(state, *data)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(num_steps):
+        state, m = step_fn(state, *data)
+    jax.block_until_ready(m)
+    return (time.perf_counter() - t0) / num_steps, state

@@ -1,0 +1,77 @@
+"""Multi-device tests on the 8-fake-CPU mesh (SURVEY.md section 4c):
+sharded ELBOs match the single-device reference implementations exactly,
+and their gradients agree — data parallelism here is a pure reduction
+restructure, not an approximation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dp_gp_lvm_tpu.data import synthetic
+from dp_gp_lvm_tpu.models import bgplvm, dp_gp_lvm
+from dp_gp_lvm_tpu.parallel import mesh as mesh_lib
+from dp_gp_lvm_tpu.parallel.sharded_elbo import (
+    bgplvm_elbo_sharded,
+    bgplvm_loss_sharded,
+    dp_elbo_sharded,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 fake devices"
+)
+
+
+@pytest.fixture(scope="module")
+def toy():
+    Y, _ = synthetic.toy_gplvm(
+        jax.random.PRNGKey(0), n=48, d=6, q_true=2, q_total=3
+    )
+    return Y
+
+
+def test_bgplvm_sharded_matches_single_device(toy):
+    Y = toy
+    cfg = bgplvm.Config(num_latent=3, num_inducing=8)
+    params = bgplvm.init_params(jax.random.PRNGKey(1), Y, cfg)
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    single = float(bgplvm.elbo(params, Y, cfg))
+    sharded = float(bgplvm_elbo_sharded(params, Y, cfg, mesh))
+    np.testing.assert_allclose(sharded, single, rtol=1e-9)
+
+
+def test_bgplvm_sharded_gradients_match(toy):
+    Y = toy
+    cfg = bgplvm.Config(num_latent=3, num_inducing=8)
+    params = bgplvm.init_params(jax.random.PRNGKey(1), Y, cfg)
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    g1 = jax.grad(bgplvm.loss)(params, Y, cfg)
+    g2 = jax.grad(lambda p: bgplvm_loss_sharded(p, Y, cfg, mesh))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-9
+        )
+
+
+def test_dp_sharded_2d_mesh_matches_single_device(toy):
+    Y = toy
+    cfg = dp_gp_lvm.Config(num_latent=3, num_inducing=8, truncation=4)
+    params = dp_gp_lvm.init_params(jax.random.PRNGKey(2), Y, cfg)
+    single = float(dp_gp_lvm.elbo(params, Y, cfg))
+    for data, model in [(8, 1), (4, 2), (2, 4)]:
+        mesh = mesh_lib.make_mesh(data=data, model=model)
+        sharded = float(dp_elbo_sharded(params, Y, cfg, mesh))
+        np.testing.assert_allclose(sharded, single, rtol=1e-9, err_msg=f"{data}x{model}")
+
+
+def test_dp_sharded_under_jit(toy):
+    Y = toy
+    cfg = dp_gp_lvm.Config(num_latent=3, num_inducing=8, truncation=4)
+    params = dp_gp_lvm.init_params(jax.random.PRNGKey(2), Y, cfg)
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    f = jax.jit(lambda p, y: dp_elbo_sharded(p, y, cfg, mesh))
+    np.testing.assert_allclose(
+        float(f(params, Y)), float(dp_gp_lvm.elbo(params, Y, cfg)),
+        rtol=1e-9,
+    )
