@@ -1,0 +1,135 @@
+"""Benchmark: wall-clock per DP-GP-LVM ELBO+gradient step (BASELINE metric).
+
+Config mirrors BASELINE.json's headline setting (CMU mocap scale: N~1k,
+D~60, T=20, M=64, Q=10). The reference implementation could not be run
+(empty mount, see BASELINE.md), so `vs_baseline` is measured against the
+closest available stand-in for "reference CPU code": the same math
+executed on this host's CPU in float64 via XLA — a *conservative*
+baseline, since XLA-CPU is typically faster than the reference's TF1
+graphs. The CPU baseline is measured in a subprocess with a clean
+environment and cached in .bench_cpu_baseline.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N, D, Q, M, T = 1024, 60, 10, 64, 20
+STEPS = 20
+
+
+def build(dtype_str: str):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dp_gp_lvm_tpu.data import synthetic
+    from dp_gp_lvm_tpu.models import dp_gp_lvm
+
+    dtype = jnp.float64 if dtype_str == "f64" else jnp.float32
+    config = dp_gp_lvm.Config(
+        num_latent=Q, num_inducing=M, truncation=T, psi2_block=256
+    )
+    rng = jax.random.PRNGKey(0)
+    Y, _ = synthetic.mocap_like(rng, n=N, d=D, dtype=dtype)
+    params = dp_gp_lvm.init_params(rng, Y, config)
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, Y):
+        loss, grads = jax.value_and_grad(dp_gp_lvm.loss)(params, Y, config)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step, params, opt_state, Y
+
+
+def time_step(dtype_str: str, steps: int) -> float:
+    import jax
+
+    step, params, opt_state, Y = build(dtype_str)
+    params, opt_state, loss = step(params, opt_state, Y)  # compile
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state, Y)
+    loss.block_until_ready()
+    return (time.perf_counter() - t0) / steps
+
+
+def cpu_baseline_ms() -> float:
+    """Measure (or read cached) f64-CPU per-step time in a clean env."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cpu_baseline.json")
+    key = f"N{N}_D{D}_Q{Q}_M{M}_T{T}"
+    if os.path.exists(cache):
+        try:
+            data = json.load(open(cache))
+            if key in data:
+                return data[key]
+        except Exception:
+            pass
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_ENABLE_X64"] = "1"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+    code = (
+        "import bench, json; "
+        "print('CPUMS', bench.time_step('f64', 3))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    ms = None
+    for line in out.stdout.splitlines():
+        if line.startswith("CPUMS"):
+            ms = float(line.split()[1]) * 1e3
+    if ms is None:
+        raise RuntimeError(f"cpu baseline failed: {out.stderr[-2000:]}")
+    try:
+        data = json.load(open(cache)) if os.path.exists(cache) else {}
+    except Exception:
+        data = {}
+    data[key] = ms
+    json.dump(data, open(cache, "w"))
+    return ms
+
+
+def main():
+    import jax
+
+    device_kind = jax.devices()[0].device_kind
+    secs = time_step("f32", STEPS)
+    ms = secs * 1e3
+    try:
+        base_ms = cpu_baseline_ms()
+        vs = base_ms / ms
+    except Exception as e:
+        print(f"# cpu baseline unavailable: {e}", file=sys.stderr)
+        base_ms, vs = None, None
+    print(json.dumps({
+        "metric": "dp_gp_lvm_elbo_step (N=1024,D=60,Q=10,M=64,T=20)",
+        "value": round(ms, 3),
+        "unit": "ms/step",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "baseline": "same math, XLA-CPU f64 (reference-style CPU float64)",
+        "baseline_ms": round(base_ms, 3) if base_ms else None,
+        "device": device_kind,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ from dp_gp_lvm_tpu.core.types import JitterPolicy
 from dp_gp_lvm_tpu.distributions import gaussian
 from dp_gp_lvm_tpu.kernels import ard_rbf
 from dp_gp_lvm_tpu.models.bound import collapsed_bound, suff_stats_from_psi
+from dp_gp_lvm_tpu.ops import dispatch
 from dp_gp_lvm_tpu.train.init import inducing_from_latents, pca_latents
 
 
@@ -34,6 +35,7 @@ class Config(NamedTuple):
     num_latent: int
     num_inducing: int
     psi2_block: int | None = None  # chunk size over N for Psi2 accumulation
+    use_pallas: bool = False       # fused Pallas psi kernels (ops/pallas)
 
 
 def init_params(rng, Y, config: Config):
@@ -67,8 +69,9 @@ def elbo_terms(params, Y, config: Config, policy: JitterPolicy = JitterPolicy())
     """Per-term ELBO decomposition (the primary parity-debugging tool)."""
     hyp = constrain(params)
     mu, s, z = hyp["qx_mean"], hyp["qx_var"], hyp["z"]
-    p0, p1, p2 = ard_rbf.psi_stats(
-        hyp["variance"], hyp["ard"], mu, s, z, block_n=config.psi2_block
+    p0, p1, p2 = dispatch.psi_stats(
+        hyp["variance"], hyp["ard"], mu, s, z, block_n=config.psi2_block,
+        use_pallas=config.use_pallas,
     )
     kuu = ard_rbf.gram(hyp["variance"], hyp["ard"], z)
     stats = suff_stats_from_psi(p0, p1, p2, Y)

@@ -35,6 +35,7 @@ from dp_gp_lvm_tpu.core.types import JitterPolicy
 from dp_gp_lvm_tpu.distributions import gaussian, stick_breaking
 from dp_gp_lvm_tpu.kernels import ard_rbf
 from dp_gp_lvm_tpu.models.bound import collapsed_bound, suff_stats_from_psi
+from dp_gp_lvm_tpu.ops import dispatch
 from dp_gp_lvm_tpu.train.init import (
     inducing_from_latents,
     near_uniform_assignments,
@@ -48,6 +49,7 @@ class Config(NamedTuple):
     truncation: int          # T
     alpha: float = 1.0       # DP concentration
     psi2_block: int | None = None
+    use_pallas: bool = False
 
 
 def init_params(rng, Y, config: Config):
@@ -100,8 +102,9 @@ def per_dim_atom_bound(
     mu, s = hyp["qx_mean"], hyp["qx_var"]
 
     def atom_bound(variance, ard, z, noise):
-        p0, p1, p2 = ard_rbf.psi_stats(
-            variance, ard, mu, s, z, block_n=config.psi2_block
+        p0, p1, p2 = dispatch.psi_stats(
+            variance, ard, mu, s, z, block_n=config.psi2_block,
+            use_pallas=config.use_pallas,
         )
         kuu = ard_rbf.gram(variance, ard, z)
         stats = suff_stats_from_psi(p0, p1, p2, Y)

@@ -23,6 +23,7 @@ from dp_gp_lvm_tpu.core.types import JitterPolicy
 from dp_gp_lvm_tpu.distributions import gaussian
 from dp_gp_lvm_tpu.kernels import ard_rbf
 from dp_gp_lvm_tpu.models.bound import collapsed_bound, suff_stats_from_psi
+from dp_gp_lvm_tpu.ops import dispatch
 from dp_gp_lvm_tpu.train.init import inducing_from_latents, pca_latents
 
 
@@ -31,6 +32,7 @@ class Config(NamedTuple):
     num_inducing: int
     num_views: int
     psi2_block: int | None = None
+    use_pallas: bool = False
 
 
 def init_params(rng, Ys: Sequence[jnp.ndarray], config: Config):
@@ -72,9 +74,9 @@ def elbo_terms(params, Ys, config: Config, policy: JitterPolicy = JitterPolicy()
     fit_per_view = []
     for vp, Y in zip(params["views"], Ys):
         hyp = constrain_view(vp)
-        p0, p1, p2 = ard_rbf.psi_stats(
+        p0, p1, p2 = dispatch.psi_stats(
             hyp["variance"], hyp["ard"], mu, s, hyp["z"],
-            block_n=config.psi2_block,
+            block_n=config.psi2_block, use_pallas=config.use_pallas,
         )
         kuu = ard_rbf.gram(hyp["variance"], hyp["ard"], hyp["z"])
         stats = suff_stats_from_psi(p0, p1, p2, Y)

@@ -1,0 +1,179 @@
+"""Run a named BASELINE config end-to-end (SURVEY.md section 2a
+'Experiments'): data -> init -> jitted training loop -> metrics, with
+JSONL logging, optional checkpoints, and an .npz export of learned params.
+
+    python experiments/run.py c1_bgplvm_toy --steps 500
+    python experiments/run.py c4_dp_mocap --out /tmp/run_c4
+    python experiments/run.py c5_dp_missing        # trains, then imputes
+
+On the single TPU this runs f32; pass --f64 on CPU for the parity path.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", help="name from dp_gp_lvm_tpu.core.config")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--out", default=None, help="output dir (logs/ckpts/npz)")
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--ckpt-every", type=int, default=0)
+    ap.add_argument("--data-dir", default=None,
+                    help="directory with real oil-flow / AMC files")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import optax
+
+    from dp_gp_lvm_tpu.core import config as config_lib
+    from dp_gp_lvm_tpu.data import mocap, oil_flow, synthetic
+    from dp_gp_lvm_tpu.models import bgplvm, dp_gp_lvm, mrd, prediction
+    from dp_gp_lvm_tpu.train import checkpoint as ckpt_lib
+    from dp_gp_lvm_tpu.train.logging import JsonlLogger
+    from dp_gp_lvm_tpu.train.loop import (
+        init_state,
+        make_step_fn,
+        time_steps,
+    )
+
+    cfg = config_lib.get(args.config)
+    steps = args.steps or cfg.steps
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    out_dir = args.out or f"/tmp/dpgp_{cfg.name}"
+    os.makedirs(out_dir, exist_ok=True)
+    logger = JsonlLogger(os.path.join(out_dir, "train.jsonl"))
+
+    # ---- data -------------------------------------------------------------
+    tag = cfg.dataset
+    if cfg.dataset == "toy_gplvm":
+        Y, _ = synthetic.toy_gplvm(rng, n=cfg.n, d=cfg.d, q_true=2,
+                                   q_total=cfg.q, dtype=dtype)
+        data = (Y,)
+    elif cfg.dataset == "oil_flow":
+        Y, labels, tag = oil_flow.load_oil_flow(args.data_dir, dtype=dtype)
+        data = (Y,)
+    elif cfg.dataset == "two_view":
+        Y1, Y2, _ = synthetic.two_view(rng, n=cfg.n, d1=cfg.views[0],
+                                       d2=cfg.views[1], dtype=dtype)
+        data = (Y1, Y2)
+    elif cfg.dataset == "mocap":
+        amc = None
+        if args.data_dir:
+            amcs = [f for f in os.listdir(args.data_dir)
+                    if f.endswith(".amc")]
+            amc = os.path.join(args.data_dir, amcs[0]) if amcs else None
+        Y, tag = mocap.load_mocap(amc, n=cfg.n, d=cfg.d, dtype=dtype,
+                                  rng=rng)
+        data = (Y,)
+    else:
+        raise ValueError(cfg.dataset)
+
+    # ---- model ------------------------------------------------------------
+    if cfg.model == "bgplvm":
+        mcfg = bgplvm.Config(num_latent=cfg.q, num_inducing=cfg.m,
+                             psi2_block=cfg.psi2_block)
+        params = bgplvm.init_params(rng, data[0], mcfg)
+        loss_fn = lambda p, y: bgplvm.loss(p, y, mcfg)
+        terms_fn = lambda p: bgplvm.elbo_terms(p, data[0], mcfg)
+    elif cfg.model == "mrd":
+        mcfg = mrd.Config(num_latent=cfg.q, num_inducing=cfg.m,
+                          num_views=len(cfg.views),
+                          psi2_block=cfg.psi2_block)
+        params = mrd.init_params(rng, list(data), mcfg)
+        loss_fn = lambda p, *ys: mrd.loss(p, list(ys), mcfg)
+        terms_fn = lambda p: mrd.elbo_terms(p, list(data), mcfg)
+    elif cfg.model == "dp_gp_lvm":
+        mcfg = dp_gp_lvm.Config(num_latent=cfg.q, num_inducing=cfg.m,
+                                truncation=cfg.t, alpha=cfg.alpha,
+                                psi2_block=cfg.psi2_block)
+        if cfg.missing_fraction > 0:  # config 5: hold out tail rows
+            n_test = max(1, cfg.n // 8)
+            Y_train, Y_test = data[0][:-n_test], data[0][-n_test:]
+            data = (Y_train,)
+        params = dp_gp_lvm.init_params(rng, data[0], mcfg)
+        loss_fn = lambda p, y: dp_gp_lvm.loss(p, y, mcfg)
+        terms_fn = lambda p: dp_gp_lvm.elbo_terms(p, data[0], mcfg)
+    else:
+        raise ValueError(cfg.model)
+
+    print(f"[{cfg.name}] data={tag} model={cfg.model} steps={steps} "
+          f"device={jax.devices()[0].device_kind}", flush=True)
+
+    # ---- train ------------------------------------------------------------
+    optimizer = optax.adam(cfg.lr)
+    step_fn = make_step_fn(loss_fn, optimizer, donate=False)
+    state = init_state(params, optimizer)
+
+    ck = ckpt_lib.Checkpointer(os.path.join(out_dir, "ckpt")) \
+        if args.ckpt_every else None
+    t0 = time.time()
+    for i in range(steps):
+        state, metrics = step_fn(state, *data)
+        if i % args.log_every == 0 or i == steps - 1:
+            logger.log(i, **{k: float(v) for k, v in metrics.items()})
+            print(f"  step {i}: elbo={float(metrics['elbo']):.3f}",
+                  flush=True)
+        if ck and i and i % args.ckpt_every == 0:
+            ck.save(state)
+    total = time.time() - t0
+    per_step, state = time_steps(step_fn, state, data, num_steps=10)
+    print(f"[{cfg.name}] done in {total:.1f}s; "
+          f"{per_step*1e3:.2f} ms/step (post-compile)", flush=True)
+
+    # ---- final metrics & export ------------------------------------------
+    terms = {k: float(v) for k, v in terms_fn(state.params).items()
+             if jnp.ndim(v) == 0}
+    result = {"config": cfg.name, "data": tag, "steps": steps,
+              "seconds": round(total, 2),
+              "ms_per_step": round(per_step * 1e3, 3), **terms}
+
+    if cfg.model == "dp_gp_lvm" and cfg.missing_fraction > 0:
+        d = Y_test.shape[1]
+        n_miss = int(d * cfg.missing_fraction)
+        mask = jnp.ones((Y_test.shape[0], d), dtype).at[:, -n_miss:].set(0.0)
+        mean, var, *_ = prediction.impute_dp(
+            state.params, Y_train, mcfg, Y_test, mask, num_steps=200
+        )
+        miss = 1.0 - mask
+        mse = float(jnp.sum(((mean - Y_test) ** 2) * miss) / jnp.sum(miss))
+        pll = float(prediction.gaussian_predictive_loglik(
+            Y_test, mean, var, miss) / jnp.sum(miss))
+        result["imputation_mse"] = mse
+        result["predictive_loglik_per_dim"] = pll
+        print(f"[{cfg.name}] imputation mse={mse:.4f} pll={pll:.4f}",
+              flush=True)
+
+    from dp_gp_lvm_tpu.train.checkpoint import export_npz
+
+    if cfg.model == "bgplvm":
+        export_npz(os.path.join(out_dir, "params.npz"),
+                   bgplvm.constrain(state.params))
+    elif cfg.model == "dp_gp_lvm":
+        export_npz(os.path.join(out_dir, "params.npz"),
+                   dp_gp_lvm.constrain(state.params))
+
+    with open(os.path.join(out_dir, "result.json"), "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result))
+    if ck:
+        ck.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Pallas kernel equivalence tests (SURVEY.md section 7 step 8): every
+fused kernel ships with an equivalence test against the pure-JAX path.
+On CPU these run in interpret mode; on TPU the same tests exercise the
+compiled kernels (tests/conftest.py pins CPU, so interpret here)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dp_gp_lvm_tpu.kernels import ard_rbf
+from dp_gp_lvm_tpu.ops.pallas import psi as psi_pallas
+
+N, M, Q = 37, 8, 3  # deliberately unaligned N to exercise padding
+
+
+@pytest.fixture(scope="module")
+def setup():
+    r = jax.random.PRNGKey(0)
+    r1, r2, r3 = jax.random.split(r, 3)
+    mu = jax.random.normal(r1, (N, Q), jnp.float32)
+    s = jax.random.uniform(r2, (N, Q), jnp.float32, 0.05, 0.8)
+    Z = jax.random.normal(r3, (M, Q), jnp.float32)
+    variance = jnp.float32(1.7)
+    ard = jnp.asarray([0.6, 1.4, 0.9], jnp.float32)
+    return variance, ard, mu, s, Z
+
+
+def test_psi2_pallas_matches_reference(setup):
+    variance, ard, mu, s, Z = setup
+    ref = ard_rbf.psi2(variance, ard, mu, s, Z)
+    for block in (8, 16, 37):
+        got = psi_pallas.psi2_pallas(
+            variance, ard, mu, s, Z, block_n=block, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_psi1_pallas_matches_reference(setup):
+    variance, ard, mu, s, Z = setup
+    ref = ard_rbf.psi1(variance, ard, mu, s, Z)
+    got = psi_pallas.psi1_pallas(
+        variance, ard, mu, s, Z, block_n=16, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_psi2_pallas_weights(setup):
+    variance, ard, mu, s, Z = setup
+    w = (jax.random.uniform(jax.random.PRNGKey(9), (N,)) > 0.3).astype(
+        jnp.float32
+    )
+    ref = ard_rbf.psi2(variance, ard, mu, s, Z, weights=w)
+    got = psi_pallas.psi2_pallas(
+        variance, ard, mu, s, Z, weights=w, block_n=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_psi2_fused_gradients_match(setup):
+    """custom_vjp wrapper: gradients equal the pure-JAX gradients."""
+    variance, ard, mu, s, Z = setup
+
+    def f_pallas(v, a, m_, s_, z_):
+        return jnp.sum(
+            psi_pallas.psi2_fused(v, a, m_, s_, z_, 16, True) ** 2
+        )
+
+    def f_ref(v, a, m_, s_, z_):
+        return jnp.sum(ard_rbf.psi2(v, a, m_, s_, z_) ** 2)
+
+    g1 = jax.grad(f_pallas, argnums=(0, 2, 3, 4))(variance, ard, mu, s, Z)
+    g2 = jax.grad(f_ref, argnums=(0, 2, 3, 4))(variance, ard, mu, s, Z)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+        )
+
+
+def test_psi2_pallas_vmap_over_atoms(setup):
+    """DP usage: vmapped over per-atom hypers/Z."""
+    variance, ard, mu, s, Z = setup
+    t = 3
+    r = jax.random.PRNGKey(5)
+    variances = jnp.abs(jax.random.normal(r, (t,), jnp.float32)) + 0.5
+    ards = jnp.abs(jax.random.normal(r, (t, Q), jnp.float32)) + 0.3
+    Zs = jnp.stack([Z, Z + 0.1, Z - 0.1])
+
+    got = jax.vmap(
+        lambda v, a, z: psi_pallas.psi2_pallas(
+            v, a, mu, s, z, block_n=8, interpret=True
+        )
+    )(variances, ards, Zs)
+    ref = jax.vmap(
+        lambda v, a, z: ard_rbf.psi2(v, a, mu, s, z)
+    )(variances, ards, Zs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_bgplvm_elbo_pallas_path_matches():
+    from dp_gp_lvm_tpu.data import synthetic
+    from dp_gp_lvm_tpu.models import bgplvm
+
+    Y, _ = synthetic.toy_gplvm(
+        jax.random.PRNGKey(2), n=30, d=5, q_true=2, dtype=jnp.float32
+    )
+    c_ref = bgplvm.Config(num_latent=2, num_inducing=8)
+    c_pal = bgplvm.Config(num_latent=2, num_inducing=8, use_pallas=True)
+    params = bgplvm.init_params(jax.random.PRNGKey(3), Y, c_ref)
+    e_ref = float(bgplvm.elbo(params, Y, c_ref))
+    e_pal = float(bgplvm.elbo(params, Y, c_pal))
+    np.testing.assert_allclose(e_pal, e_ref, rtol=1e-4)
+
+
+def test_dp_elbo_pallas_path_matches():
+    from dp_gp_lvm_tpu.data import synthetic
+    from dp_gp_lvm_tpu.models import dp_gp_lvm
+
+    Y, _, _ = synthetic.grouped_dims(
+        jax.random.PRNGKey(4), n=24, dims_per_group=(3, 3), q=2,
+        dtype=jnp.float32,
+    )
+    c_ref = dp_gp_lvm.Config(num_latent=2, num_inducing=6, truncation=3)
+    c_pal = dp_gp_lvm.Config(
+        num_latent=2, num_inducing=6, truncation=3, use_pallas=True
+    )
+    params = dp_gp_lvm.init_params(jax.random.PRNGKey(5), Y, c_ref)
+    e_ref = float(dp_gp_lvm.elbo(params, Y, c_ref))
+    e_pal = float(dp_gp_lvm.elbo(params, Y, c_pal))
+    np.testing.assert_allclose(e_pal, e_ref, rtol=1e-4)
