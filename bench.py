@@ -57,11 +57,14 @@ def time_step(dtype_str: str, steps: int) -> float:
     step, params, opt_state, Y = build(dtype_str)
     params, opt_state, loss = step(params, opt_state, Y)  # compile
     loss.block_until_ready()
+    assert bool(jax.numpy.isfinite(loss)), f"non-finite loss {loss}"
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, loss = step(params, opt_state, Y)
     loss.block_until_ready()
-    return (time.perf_counter() - t0) / steps
+    dt = (time.perf_counter() - t0) / steps
+    assert bool(jax.numpy.isfinite(loss)), f"non-finite final loss {loss}"
+    return dt
 
 
 def cpu_baseline_ms() -> float:

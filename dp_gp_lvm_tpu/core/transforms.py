@@ -12,10 +12,30 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def positive(raw):
-    """softplus(raw): unconstrained -> (0, inf). Stable for large |raw|."""
-    # jax.nn.softplus is log1p(exp(x)) with the large-x branch handled.
-    return jnp.logaddexp(raw, jnp.zeros_like(raw))
+# Floors keep f32 training on TPU away from the blow-up chain
+# noise -> 0  =>  beta -> inf  =>  bound/gradients overflow  =>  NaN params.
+# (Observed on config 1: Adam pushed raw_noise far negative; the f64 CPU
+# path tolerates it, f32 does not.) Values are far below any statistically
+# meaningful scale for standardized data.
+MIN_NOISE = 1e-6
+MIN_VARIATIONAL_VAR = 1e-8
+
+
+def positive(raw, floor: float = 0.0):
+    """softplus(raw) + floor: unconstrained -> (floor, inf)."""
+    # jnp.logaddexp(x, 0) is softplus with the large-x branch handled.
+    out = jnp.logaddexp(raw, jnp.zeros_like(raw))
+    return out + floor if floor else out
+
+
+def positive_noise(raw):
+    """Noise-variance transform with the f32 stability floor."""
+    return positive(raw, MIN_NOISE)
+
+
+def positive_variational_var(raw):
+    """q(X) variance transform with the f32 stability floor."""
+    return positive(raw, MIN_VARIATIONAL_VAR)
 
 
 def positive_inverse(value):

@@ -39,6 +39,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# TPU matmul precision: JAX's default demotes f32 dots to bf16 on TPU,
+# which destroys the exponentiated distance computations (K_uu goes
+# non-PSD, psi stats lose the tail). Every distance-critical contraction
+# pins full-f32 MXU passes.
+HIGHEST = lax.Precision.HIGHEST
+
 
 def gram(variance, ard, X1, X2=None):
     """Gram matrix k(X1, X2). X1: (N1,Q), X2: (N2,Q) or None for symmetric."""
@@ -47,7 +53,7 @@ def gram(variance, ard, X1, X2=None):
     Xs2 = Xs1 if X2 is None else X2 * jnp.sqrt(ard)[None, :]
     n1 = jnp.sum(Xs1 * Xs1, axis=-1)
     n2 = n1 if X2 is None else jnp.sum(Xs2 * Xs2, axis=-1)
-    d2 = n1[:, None] - 2.0 * (Xs1 @ Xs2.T) + n2[None, :]
+    d2 = n1[:, None] - 2.0 * jnp.dot(Xs1, Xs2.T, precision=HIGHEST) + n2[None, :]
     d2 = jnp.maximum(d2, 0.0)
     return variance * jnp.exp(-0.5 * d2)
 
@@ -75,8 +81,8 @@ def psi1(variance, ard, mu, s, Z, weights=None):
     a = ard[None, :] / denom                           # (N, Q)
     log_norm = -0.5 * jnp.sum(jnp.log(denom), axis=-1)  # (N,)
     row = jnp.sum(a * mu * mu, axis=-1)                # (N,)
-    cross = (a * mu) @ Z.T                             # (N, M)  MXU
-    zsq = a @ (Z * Z).T                                # (N, M)  MXU
+    cross = jnp.dot(a * mu, Z.T, precision=HIGHEST)                             # (N, M)  MXU
+    zsq = jnp.dot(a, (Z * Z).T, precision=HIGHEST)                                # (N, M)  MXU
     quad = row[:, None] - 2.0 * cross + zsq            # (N, M)
     out = variance * jnp.exp(log_norm[:, None] - 0.5 * quad)
     if weights is not None:
@@ -90,11 +96,11 @@ def _psi2_block(variance, ard, mu, s, Z, log_e, weights):
     b = ard[None, :] / denom                           # (B, Q)
     log_norm = -0.5 * jnp.sum(jnp.log(denom), axis=-1)  # (B,)
     sterm = jnp.sum(b * mu * mu, axis=-1)              # (B,)
-    t = (b * mu) @ Z.T                                 # (B, M)  MXU
-    p = b @ (Z * Z).T                                  # (B, M)  MXU
+    t = jnp.dot(b * mu, Z.T, precision=HIGHEST)                                 # (B, M)  MXU
+    p = jnp.dot(b, (Z * Z).T, precision=HIGHEST)                                  # (B, M)  MXU
     # c[n, m, m'] = sum_q b_nq z_mq z_m'q : N-batched matmul on the MXU.
     Zb = Z[None, :, :] * b[:, None, :]                 # (B, M, Q)
-    c = jnp.einsum("bmq,lq->bml", Zb, Z)               # (B, M, M)
+    c = jnp.einsum("bmq,lq->bml", Zb, Z, precision=HIGHEST)               # (B, M, M)
     expo = (
         log_e[None, :, :]
         + (log_norm - sterm)[:, None, None]
@@ -119,7 +125,7 @@ def psi2(variance, ard, mu, s, Z, weights=None, block_n=None):
     # n-independent factor: -1/4 alpha-weighted squared distance of Z pairs.
     Zs = Z * jnp.sqrt(ard)[None, :]
     zn = jnp.sum(Zs * Zs, axis=-1)
-    zd2 = jnp.maximum(zn[:, None] - 2.0 * (Zs @ Zs.T) + zn[None, :], 0.0)
+    zd2 = jnp.maximum(zn[:, None] - 2.0 * jnp.dot(Zs, Zs.T, precision=HIGHEST) + zn[None, :], 0.0)
     log_e = -0.25 * zd2                                # (M, M)
 
     if block_n is None or block_n >= n:
@@ -165,4 +171,4 @@ def observed_psi(variance, ard, X, Z):
     """
     knm = gram(variance, ard, X, Z)
     p0 = variance * jnp.asarray(X.shape[0], X.dtype)
-    return p0, knm, knm.T @ knm
+    return p0, knm, jnp.dot(knm.T, knm, precision=HIGHEST)

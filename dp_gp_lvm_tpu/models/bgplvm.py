@@ -20,7 +20,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dp_gp_lvm_tpu.core.transforms import positive, positive_inverse
+from dp_gp_lvm_tpu.core.transforms import (
+    positive,
+    positive_inverse,
+    positive_noise,
+    positive_variational_var,
+)
 from dp_gp_lvm_tpu.core.types import JitterPolicy
 from dp_gp_lvm_tpu.distributions import gaussian
 from dp_gp_lvm_tpu.kernels import ard_rbf
@@ -57,11 +62,11 @@ def init_params(rng, Y, config: Config):
 def constrain(params):
     return {
         "qx_mean": params["qx_mean"],
-        "qx_var": positive(params["raw_qx_var"]),
+        "qx_var": positive_variational_var(params["raw_qx_var"]),
         "z": params["z"],
         "variance": positive(params["raw_variance"]),
         "ard": positive(params["raw_ard"]),
-        "noise": positive(params["raw_noise"]),
+        "noise": positive_noise(params["raw_noise"]),
     }
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from dp_gp_lvm_tpu.core.types import JitterPolicy
 from dp_gp_lvm_tpu.linalg import (
@@ -61,7 +62,9 @@ def suff_stats_from_psi(psi0, psi1, psi2, Y, weights=None):
     )
     return SuffStats(
         psi0=psi0,
-        psi1T_y=psi1.T @ Y,          # psi1 already carries weights if any
+        # psi1 already carries row weights if any; full-f32 MXU pass (the
+        # TPU default would demote this contraction to bf16)
+        psi1T_y=jnp.dot(psi1.T, Y, precision=lax.Precision.HIGHEST),
         psi2=psi2,
         yty=jnp.sum(Y * Yw, axis=0),
         n=n,

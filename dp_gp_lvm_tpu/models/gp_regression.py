@@ -14,8 +14,15 @@ Params (unconstrained pytree): raw_variance (), raw_ard (Q,), raw_noise ().
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax as _lax
 
-from dp_gp_lvm_tpu.core.transforms import positive, positive_inverse
+_HIGHEST = _lax.Precision.HIGHEST
+
+from dp_gp_lvm_tpu.core.transforms import (
+    positive,
+    positive_inverse,
+    positive_noise,
+)
 from dp_gp_lvm_tpu.core.types import JitterPolicy
 from dp_gp_lvm_tpu.kernels import ard_rbf
 from dp_gp_lvm_tpu.linalg import logdet_from_chol, safe_cholesky, tri_solve
@@ -34,7 +41,7 @@ def constrain(params):
     return {
         "variance": positive(params["raw_variance"]),
         "ard": positive(params["raw_ard"]),
-        "noise": positive(params["raw_noise"]),
+        "noise": positive_noise(params["raw_noise"]),
     }
 
 
@@ -66,7 +73,7 @@ def predict(params, X, Y, X_star, policy: JitterPolicy = JitterPolicy()):
     L, _ = safe_cholesky(ky, policy)
     ks = ard_rbf.gram(hyp["variance"], hyp["ard"], X_star, X)  # (N*, N)
     a = tri_solve(L, ks.T)                                     # (N, N*)
-    mean = a.T @ tri_solve(L, Y)
+    mean = jnp.dot(a.T, tri_solve(L, Y), precision=_HIGHEST)
     var = (
         ard_rbf.gram_diag(hyp["variance"], hyp["ard"], X_star)
         - jnp.sum(a * a, axis=0)

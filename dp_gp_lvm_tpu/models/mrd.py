@@ -18,7 +18,12 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from dp_gp_lvm_tpu.core.transforms import positive, positive_inverse
+from dp_gp_lvm_tpu.core.transforms import (
+    positive,
+    positive_inverse,
+    positive_noise,
+    positive_variational_var,
+)
 from dp_gp_lvm_tpu.core.types import JitterPolicy
 from dp_gp_lvm_tpu.distributions import gaussian
 from dp_gp_lvm_tpu.kernels import ard_rbf
@@ -64,13 +69,13 @@ def constrain_view(vp):
         "z": vp["z"],
         "variance": positive(vp["raw_variance"]),
         "ard": positive(vp["raw_ard"]),
-        "noise": positive(vp["raw_noise"]),
+        "noise": positive_noise(vp["raw_noise"]),
     }
 
 
 def elbo_terms(params, Ys, config: Config, policy: JitterPolicy = JitterPolicy()):
     mu = params["qx_mean"]
-    s = positive(params["raw_qx_var"])
+    s = positive_variational_var(params["raw_qx_var"])
     fit_per_view = []
     for vp, Y in zip(params["views"], Ys):
         hyp = constrain_view(vp)

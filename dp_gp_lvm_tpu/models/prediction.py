@@ -34,6 +34,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax as _lax
+
+_HIGHEST = _lax.Precision.HIGHEST
 import optax
 
 from dp_gp_lvm_tpu.core.transforms import positive, positive_inverse
@@ -104,10 +107,10 @@ def _trace_terms(cache: PosteriorCache, p2_star):
 def predict_from_latent(cache: PosteriorCache, m_star, s_star):
     """Predictive mean (N*, D) and per-dim variance (N*, D) incl. noise."""
     p0, p1, p2 = _test_psi(cache, m_star, s_star)
-    mean = p1 @ cache.w                                  # (N*, D)
+    mean = jnp.dot(p1, cache.w, precision=_HIGHEST)                                  # (N*, D)
     tr_kinv, tr_sigma_b = _trace_terms(cache, p2)
     # w^T psi2* w per (point, dim)
-    quad = jnp.einsum("nij,id,jd->nd", p2, cache.w, cache.w)
+    quad = jnp.einsum("nij,id,jd->nd", p2, cache.w, cache.w, precision=_HIGHEST)
     common = (p0 - tr_kinv + tr_sigma_b)[:, None]
     var = cache.noise + common + quad - mean * mean
     return mean, jnp.maximum(var, 1e-12)
@@ -116,9 +119,9 @@ def predict_from_latent(cache: PosteriorCache, m_star, s_star):
 def _expected_loglik(cache: PosteriorCache, y, mask, m_star, s_star):
     """sum over observed dims of E_{q(x*) q(u)}[log N(y_d | f_d, noise)]."""
     p0, p1, p2 = _test_psi(cache, m_star, s_star)
-    mean = p1 @ cache.w
+    mean = jnp.dot(p1, cache.w, precision=_HIGHEST)
     tr_kinv, tr_sigma_b = _trace_terms(cache, p2)
-    quad = jnp.einsum("nij,id,jd->nd", p2, cache.w, cache.w)
+    quad = jnp.einsum("nij,id,jd->nd", p2, cache.w, cache.w, precision=_HIGHEST)
     beta = 1.0 / cache.noise
     # E[(y - a(x)^T u)^2] = y^2 - 2 y psi1 w + w^T psi2 w + tr(Sigma_B psi2)
     # + conditional-GP variance correction (psi0 - tr(K^{-1} psi2)).
@@ -260,9 +263,9 @@ def dp_infer_latent(
         def per_atom_ll(c):
             # per-(point, dim) expected log-lik pieces for this atom
             p0, p1, p2 = _test_psi(c, vp["m"], s)
-            mean = p1 @ c.w
+            mean = jnp.dot(p1, c.w, precision=_HIGHEST)
             tr_kinv, tr_sigma_b = _trace_terms(c, p2)
-            quad = jnp.einsum("nij,id,jd->nd", p2, c.w, c.w)
+            quad = jnp.einsum("nij,id,jd->nd", p2, c.w, c.w, precision=_HIGHEST)
             beta = 1.0 / c.noise
             sq = (
                 y_star * y_star

@@ -10,8 +10,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax as _lax
 
-from dp_gp_lvm_tpu.core.transforms import positive, positive_inverse
+_HIGHEST = _lax.Precision.HIGHEST
+
+from dp_gp_lvm_tpu.core.transforms import (
+    positive,
+    positive_inverse,
+    positive_noise,
+)
 from dp_gp_lvm_tpu.core.types import JitterPolicy
 from dp_gp_lvm_tpu.kernels import ard_rbf
 from dp_gp_lvm_tpu.linalg import safe_cholesky, tri_solve
@@ -40,7 +47,7 @@ def constrain(params):
     return {
         "variance": positive(params["raw_variance"]),
         "ard": positive(params["raw_ard"]),
-        "noise": positive(params["raw_noise"]),
+        "noise": positive_noise(params["raw_noise"]),
         "z": params["z"],
     }
 
@@ -69,7 +76,7 @@ def predict(params, X, Y, X_star, policy: JitterPolicy = JitterPolicy()):
     stats = _stats(hyp, X, Y)
     w, L, LB = optimal_qu(kuu, stats, hyp["noise"], policy)
     ksu = ard_rbf.gram(hyp["variance"], hyp["ard"], X_star, hyp["z"])
-    mean = ksu @ w
+    mean = jnp.dot(ksu, w, precision=_HIGHEST)
     # var = k** - k_su (K_uu^{-1} - (K_uu + beta Psi2)^{-1}) k_us + noise
     a = tri_solve(L, ksu.T)            # L^{-1} k_us
     b = tri_solve(LB, a)               # LB^{-1} L^{-1} k_us

@@ -22,10 +22,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax as _lax
+
+_HIGHEST = _lax.Precision.HIGHEST
 from jax.sharding import Mesh, PartitionSpec as P
 
 from dp_gp_lvm_tpu.core.types import JitterPolicy
-from dp_gp_lvm_tpu.core.transforms import positive
+from dp_gp_lvm_tpu.core.transforms import (
+    positive,
+    positive_noise,
+    positive_variational_var,
+)
 from dp_gp_lvm_tpu.distributions import gaussian, stick_breaking
 from dp_gp_lvm_tpu.kernels import ard_rbf
 from dp_gp_lvm_tpu.models import bgplvm as bgplvm_mod
@@ -41,7 +48,7 @@ def _local_stats(variance, ard, mu, s, z, Y, block_n):
     p2 = ard_rbf.psi2(variance, ard, mu, s, z, block_n=block_n)
     return SuffStats(
         psi0=p0,
-        psi1T_y=p1.T @ Y,
+        psi1T_y=jnp.dot(p1.T, Y, precision=_HIGHEST),
         psi2=p2,
         yty=jnp.sum(Y * Y, axis=0),
         n=jnp.asarray(Y.shape[0], Y.dtype),
@@ -61,8 +68,8 @@ def bgplvm_elbo_sharded(
     def program(qx_mean, raw_qx_var, z, raw_var, raw_ard, raw_noise, y):
         variance = positive(raw_var)
         ard = positive(raw_ard)
-        noise = positive(raw_noise)
-        s = positive(raw_qx_var)
+        noise = positive_noise(raw_noise)
+        s = positive_variational_var(raw_qx_var)
         stats = _local_stats(
             variance, ard, qx_mean, s, z, y, config.psi2_block
         )
@@ -105,7 +112,7 @@ def dp_elbo_sharded(
         qx_mean, raw_qx_var, z, raw_var, raw_ard, raw_noise,
         phi_logits, raw_g1, raw_g2, y,
     ):
-        s = positive(raw_qx_var)
+        s = positive_variational_var(raw_qx_var)
         # phi is normalized over the FULL atom axis; logits are replicated.
         phi = jax.nn.softmax(phi_logits, axis=-1)       # (D, T) replicated
         t_local = z.shape[0]
@@ -113,7 +120,7 @@ def dp_elbo_sharded(
 
         def one_atom(z_t, rv_t, ra_t, rn_t):
             variance, ard, noise = (
-                positive(rv_t), positive(ra_t), positive(rn_t)
+                positive(rv_t), positive(ra_t), positive_noise(rn_t)
             )
             stats = _local_stats(
                 variance, ard, qx_mean, s, z_t, y, config.psi2_block

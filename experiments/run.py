@@ -46,6 +46,7 @@ def main():
     from dp_gp_lvm_tpu.train.logging import JsonlLogger
     from dp_gp_lvm_tpu.train.loop import (
         init_state,
+        make_multi_step_fn,
         make_step_fn,
         time_steps,
     )
@@ -116,20 +117,30 @@ def main():
           f"device={jax.devices()[0].device_kind}", flush=True)
 
     # ---- train ------------------------------------------------------------
-    optimizer = optax.adam(cfg.lr)
+    # clip-by-global-norm guards rare f32 gradient spikes near Cholesky
+    # escalation events; it is inactive on healthy steps
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1e3), optax.adam(cfg.lr)
+    )
     step_fn = make_step_fn(loss_fn, optimizer, donate=False)
     state = init_state(params, optimizer)
 
     ck = ckpt_lib.Checkpointer(os.path.join(out_dir, "ckpt")) \
         if args.ckpt_every else None
+    # scan-based chunks: one host<->device round trip per log interval
+    # (interactive dispatch to the tunneled TPU costs ~1s per call; the
+    # reference-style step-per-session.run loop would be latency-bound)
+    chunk = max(1, min(args.log_every, steps))
+    multi_step = make_multi_step_fn(loss_fn, optimizer, num_inner=chunk)
     t0 = time.time()
-    for i in range(steps):
-        state, metrics = step_fn(state, *data)
-        if i % args.log_every == 0 or i == steps - 1:
-            logger.log(i, **{k: float(v) for k, v in metrics.items()})
-            print(f"  step {i}: elbo={float(metrics['elbo']):.3f}",
-                  flush=True)
-        if ck and i and i % args.ckpt_every == 0:
+    done = 0
+    while done < steps:
+        state, losses = multi_step(state, *data)
+        done += chunk
+        elbo_now = -float(losses[-1])
+        logger.log(done - 1, elbo=elbo_now)
+        print(f"  step {done - 1}: elbo={elbo_now:.3f}", flush=True)
+        if ck and args.ckpt_every and done % args.ckpt_every == 0:
             ck.save(state)
     total = time.time() - t0
     per_step, state = time_steps(step_fn, state, data, num_steps=10)
