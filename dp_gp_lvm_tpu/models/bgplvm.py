@@ -41,6 +41,7 @@ class Config(NamedTuple):
     num_inducing: int
     psi2_block: int | None = None  # chunk size over N for Psi2 accumulation
     use_pallas: bool = False       # fused Pallas psi kernels (ops/pallas)
+    kernel: str = "ard_rbf"        # "ard_rbf" | "linear"
 
 
 def init_params(rng, Y, config: Config):
@@ -76,9 +77,9 @@ def elbo_terms(params, Y, config: Config, policy: JitterPolicy = JitterPolicy())
     mu, s, z = hyp["qx_mean"], hyp["qx_var"], hyp["z"]
     p0, p1, p2 = dispatch.psi_stats(
         hyp["variance"], hyp["ard"], mu, s, z, block_n=config.psi2_block,
-        use_pallas=config.use_pallas,
+        use_pallas=config.use_pallas, kernel=config.kernel,
     )
-    kuu = ard_rbf.gram(hyp["variance"], hyp["ard"], z)
+    kuu = dispatch.gram(hyp["variance"], hyp["ard"], z, kernel=config.kernel)
     stats = suff_stats_from_psi(p0, p1, p2, Y)
     terms = collapsed_bound(kuu, stats, hyp["noise"], policy)
     fit = jnp.sum(terms.per_dim)

@@ -55,6 +55,7 @@ class Config(NamedTuple):
     alpha: float = 1.0       # DP concentration
     psi2_block: int | None = None
     use_pallas: bool = False
+    kernel: str = "ard_rbf"
 
 
 def init_params(rng, Y, config: Config):
@@ -109,9 +110,9 @@ def per_dim_atom_bound(
     def atom_bound(variance, ard, z, noise):
         p0, p1, p2 = dispatch.psi_stats(
             variance, ard, mu, s, z, block_n=config.psi2_block,
-            use_pallas=config.use_pallas,
+            use_pallas=config.use_pallas, kernel=config.kernel,
         )
-        kuu = ard_rbf.gram(variance, ard, z)
+        kuu = dispatch.gram(variance, ard, z, kernel=config.kernel)
         stats = suff_stats_from_psi(p0, p1, p2, Y)
         return collapsed_bound(kuu, stats, noise, policy).per_dim  # (D,)
 

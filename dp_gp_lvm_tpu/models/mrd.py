@@ -38,6 +38,7 @@ class Config(NamedTuple):
     num_views: int
     psi2_block: int | None = None
     use_pallas: bool = False
+    kernel: str = "ard_rbf"
 
 
 def init_params(rng, Ys: Sequence[jnp.ndarray], config: Config):
@@ -82,8 +83,11 @@ def elbo_terms(params, Ys, config: Config, policy: JitterPolicy = JitterPolicy()
         p0, p1, p2 = dispatch.psi_stats(
             hyp["variance"], hyp["ard"], mu, s, hyp["z"],
             block_n=config.psi2_block, use_pallas=config.use_pallas,
+            kernel=config.kernel,
         )
-        kuu = ard_rbf.gram(hyp["variance"], hyp["ard"], hyp["z"])
+        kuu = dispatch.gram(
+            hyp["variance"], hyp["ard"], hyp["z"], kernel=config.kernel
+        )
         stats = suff_stats_from_psi(p0, p1, p2, Y)
         terms = collapsed_bound(kuu, stats, hyp["noise"], policy)
         fit_per_view.append(jnp.sum(terms.per_dim))

@@ -46,6 +46,7 @@ from dp_gp_lvm_tpu.kernels import ard_rbf
 from dp_gp_lvm_tpu.linalg import tri_solve
 from dp_gp_lvm_tpu.models import bgplvm, dp_gp_lvm
 from dp_gp_lvm_tpu.models.bound import optimal_qu, suff_stats_from_psi
+from dp_gp_lvm_tpu.ops import dispatch
 
 
 class PosteriorCache(NamedTuple):
@@ -63,11 +64,13 @@ class PosteriorCache(NamedTuple):
 def bgplvm_posterior(params, Y, config: bgplvm.Config,
                      policy: JitterPolicy = JitterPolicy()) -> PosteriorCache:
     hyp = bgplvm.constrain(params)
-    p0, p1, p2 = ard_rbf.psi_stats(
+    p0, p1, p2 = dispatch.psi_stats(
         hyp["variance"], hyp["ard"], hyp["qx_mean"], hyp["qx_var"],
-        hyp["z"], block_n=config.psi2_block,
+        hyp["z"], block_n=config.psi2_block, kernel=config.kernel,
     )
-    kuu = ard_rbf.gram(hyp["variance"], hyp["ard"], hyp["z"])
+    kuu = dispatch.gram(
+        hyp["variance"], hyp["ard"], hyp["z"], kernel=config.kernel
+    )
     stats = suff_stats_from_psi(p0, p1, p2, Y)
     w, L, LB = optimal_qu(kuu, stats, hyp["noise"], policy)
     return PosteriorCache(
@@ -76,17 +79,23 @@ def bgplvm_posterior(params, Y, config: bgplvm.Config,
     )
 
 
-def _test_psi(cache: PosteriorCache, m_star, s_star):
+def _test_psi(cache: PosteriorCache, m_star, s_star, kernel="ard_rbf"):
     """psi statistics of the test points: psi0* (N*,), psi1* (N*, M),
     psi2* (N*, M, M) — per-point (no sum over n)."""
-    p1 = ard_rbf.psi1(cache.variance, cache.ard, m_star, s_star, cache.z)
+    mod = dispatch.KERNELS[kernel]
+    p1 = mod.psi1(cache.variance, cache.ard, m_star, s_star, cache.z)
     # per-point psi2: reuse the block formulation with each point its own block
     def one(mu_n, s_n):
-        return ard_rbf.psi2(
+        return mod.psi2(
             cache.variance, cache.ard, mu_n[None], s_n[None], cache.z
         )
     p2 = jax.vmap(one)(m_star, s_star)               # (N*, M, M)
-    p0 = jnp.full((m_star.shape[0],), 1.0, m_star.dtype) * cache.variance
+    if kernel == "linear":
+        p0 = cache.variance * jnp.sum(
+            cache.ard[None, :] * (m_star * m_star + s_star), axis=-1
+        )
+    else:
+        p0 = jnp.full((m_star.shape[0],), 1.0, m_star.dtype) * cache.variance
     return p0, p1, p2
 
 
@@ -104,9 +113,10 @@ def _trace_terms(cache: PosteriorCache, p2_star):
     return jax.vmap(per_point)(p2_star)
 
 
-def predict_from_latent(cache: PosteriorCache, m_star, s_star):
+def predict_from_latent(cache: PosteriorCache, m_star, s_star,
+                        kernel="ard_rbf"):
     """Predictive mean (N*, D) and per-dim variance (N*, D) incl. noise."""
-    p0, p1, p2 = _test_psi(cache, m_star, s_star)
+    p0, p1, p2 = _test_psi(cache, m_star, s_star, kernel)
     mean = jnp.dot(p1, cache.w, precision=_HIGHEST)                                  # (N*, D)
     tr_kinv, tr_sigma_b = _trace_terms(cache, p2)
     # w^T psi2* w per (point, dim)
@@ -116,9 +126,10 @@ def predict_from_latent(cache: PosteriorCache, m_star, s_star):
     return mean, jnp.maximum(var, 1e-12)
 
 
-def _expected_loglik(cache: PosteriorCache, y, mask, m_star, s_star):
+def _expected_loglik(cache: PosteriorCache, y, mask, m_star, s_star,
+                     kernel="ard_rbf"):
     """sum over observed dims of E_{q(x*) q(u)}[log N(y_d | f_d, noise)]."""
-    p0, p1, p2 = _test_psi(cache, m_star, s_star)
+    p0, p1, p2 = _test_psi(cache, m_star, s_star, kernel)
     mean = jnp.dot(p1, cache.w, precision=_HIGHEST)
     tr_kinv, tr_sigma_b = _trace_terms(cache, p2)
     quad = jnp.einsum("nij,id,jd->nd", p2, cache.w, cache.w, precision=_HIGHEST)
@@ -155,6 +166,7 @@ def infer_latent(
     m_init,
     num_steps: int = 200,
     lr: float = 0.05,
+    kernel: str = "ard_rbf",
 ):
     """Optimize q(x*) = N(m*, diag(s*)) by Adam inside one jitted scan."""
     dtype = y_star.dtype
@@ -166,7 +178,7 @@ def infer_latent(
 
     def objective(vp):
         s = positive(vp["raw_s"])
-        ell = _expected_loglik(cache, y_star, mask, vp["m"], s)
+        ell = _expected_loglik(cache, y_star, mask, vp["m"], s, kernel)
         kl = gaussian.kl_to_standard_normal(vp["m"], s)
         return -(ell - kl)
 
@@ -197,8 +209,10 @@ def impute_bgplvm(
     missing dims (mask == 0) are the caller's slice."""
     cache = bgplvm_posterior(params, Y, config)
     m0 = init_latent_from_nearest(params["qx_mean"], Y, y_star, mask)
-    m_s, s_s, trace = infer_latent(cache, y_star, mask, m0, num_steps, lr)
-    mean, var = predict_from_latent(cache, m_s, s_s)
+    m_s, s_s, trace = infer_latent(
+        cache, y_star, mask, m0, num_steps, lr, kernel=config.kernel
+    )
+    mean, var = predict_from_latent(cache, m_s, s_s, kernel=config.kernel)
     return mean, var, m_s, s_s, trace
 
 
@@ -214,10 +228,11 @@ def dp_posterior(params, Y, config: dp_gp_lvm.Config,
     mu, s = hyp["qx_mean"], hyp["qx_var"]
 
     def one_atom(variance, ard, z, noise):
-        p0, p1, p2 = ard_rbf.psi_stats(
-            variance, ard, mu, s, z, block_n=config.psi2_block
+        p0, p1, p2 = dispatch.psi_stats(
+            variance, ard, mu, s, z, block_n=config.psi2_block,
+            kernel=config.kernel,
         )
-        kuu = ard_rbf.gram(variance, ard, z)
+        kuu = dispatch.gram(variance, ard, z, kernel=config.kernel)
         stats = suff_stats_from_psi(p0, p1, p2, Y)
         w, L, LB = optimal_qu(kuu, stats, noise, policy)
         return PosteriorCache(
@@ -230,10 +245,11 @@ def dp_posterior(params, Y, config: dp_gp_lvm.Config,
     return caches, hyp["phi"]
 
 
-def dp_predict_from_latent(caches: PosteriorCache, phi, m_star, s_star):
+def dp_predict_from_latent(caches: PosteriorCache, phi, m_star, s_star,
+                           kernel="ard_rbf"):
     """Mixture predictive: mean/var (N*, D) mixing atoms by phi (D, T)."""
     means, vars_ = jax.vmap(
-        lambda c: predict_from_latent(c, m_star, s_star)
+        lambda c: predict_from_latent(c, m_star, s_star, kernel)
     )(caches)                                            # (T, N*, D) each
     w = phi.T[:, None, :]                                # (T, 1, D)
     mean = jnp.sum(w * means, axis=0)
@@ -249,6 +265,7 @@ def dp_infer_latent(
     m_init,
     num_steps: int = 200,
     lr: float = 0.05,
+    kernel: str = "ard_rbf",
 ):
     """q(x*) inference under the DP mixture: phi-weighted expected log-lik."""
     var_params = {
@@ -262,7 +279,7 @@ def dp_infer_latent(
 
         def per_atom_ll(c):
             # per-(point, dim) expected log-lik pieces for this atom
-            p0, p1, p2 = _test_psi(c, vp["m"], s)
+            p0, p1, p2 = _test_psi(c, vp["m"], s, kernel)
             mean = jnp.dot(p1, c.w, precision=_HIGHEST)
             tr_kinv, tr_sigma_b = _trace_terms(c, p2)
             quad = jnp.einsum("nij,id,jd->nd", p2, c.w, c.w, precision=_HIGHEST)
@@ -311,9 +328,11 @@ def impute_dp(
     caches, phi = dp_posterior(params, Y, config)
     m0 = init_latent_from_nearest(params["qx_mean"], Y, y_star, mask)
     m_s, s_s, trace = dp_infer_latent(
-        caches, phi, y_star, mask, m0, num_steps, lr
+        caches, phi, y_star, mask, m0, num_steps, lr, kernel=config.kernel
     )
-    mean, var = dp_predict_from_latent(caches, phi, m_s, s_s)
+    mean, var = dp_predict_from_latent(
+        caches, phi, m_s, s_s, kernel=config.kernel
+    )
     return mean, var, m_s, s_s, trace
 
 

@@ -1,30 +1,52 @@
-"""Psi-statistic dispatch: pure-JAX reference path vs fused Pallas kernels.
+"""Kernel + psi-statistic dispatch.
 
-Models call `psi_stats(...)` with their config's `use_pallas` flag; the
-Pallas path runs compiled on TPU and interpret-mode elsewhere (so the same
-model code is runnable and testable on CPU). Both paths are equivalence-
-tested in tests/test_pallas.py.
+Two axes of choice, both driven by model configs:
+  - `kernel`: "ard_rbf" (reference parity) or "linear" (extension);
+  - `use_pallas`: fused Pallas psi kernels for ARD-RBF (compiled on TPU,
+    interpret-mode elsewhere, equivalence-tested in tests/test_pallas.py).
+    The linear kernel's psi stats are plain matmuls — XLA is already
+    optimal there, so the flag is a no-op for it.
 """
 from __future__ import annotations
 
 import jax
 
-from dp_gp_lvm_tpu.kernels import ard_rbf
+from dp_gp_lvm_tpu.kernels import ard_rbf, linear
 from dp_gp_lvm_tpu.ops.pallas import psi as psi_pallas
 
 _PSI2_BLOCK_PALLAS = 32
 _PSI1_BLOCK_PALLAS = 128
+
+KERNELS = {"ard_rbf": ard_rbf, "linear": linear}
 
 
 def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
+def gram(variance, ard, X1, X2=None, kernel: str = "ard_rbf"):
+    return KERNELS[kernel].gram(variance, ard, X1, X2)
+
+
+def gram_diag(variance, ard, X, kernel: str = "ard_rbf"):
+    return KERNELS[kernel].gram_diag(variance, ard, X)
+
+
+def observed_psi(variance, ard, X, Z, kernel: str = "ard_rbf"):
+    return KERNELS[kernel].observed_psi(variance, ard, X, Z)
+
+
 def psi_stats(
     variance, ard, mu, s, Z, weights=None, block_n=None,
-    use_pallas: bool = False,
+    use_pallas: bool = False, kernel: str = "ard_rbf",
 ):
-    """(Psi0, Psi1, Psi2) via the selected implementation."""
+    """(Psi0, Psi1, Psi2) via the selected kernel and implementation."""
+    if kernel == "linear":
+        return linear.psi_stats(
+            variance, ard, mu, s, Z, weights=weights, block_n=block_n
+        )
+    if kernel != "ard_rbf":
+        raise ValueError(f"unknown kernel {kernel!r}")
     if not use_pallas or weights is not None:
         # pure-JAX reference path (also used when row weights are needed —
         # the fused wrappers don't thread weights through the VJP yet)
@@ -40,3 +62,9 @@ def psi_stats(
         variance, ard, mu, s, Z, _PSI2_BLOCK_PALLAS, interpret
     )
     return p0, p1, p2
+
+
+def psi0(variance, ard, mu, s, weights=None, kernel: str = "ard_rbf"):
+    if kernel == "linear":
+        return linear.psi0(variance, ard, mu, s, weights)
+    return ard_rbf.psi0(variance, mu, weights)

@@ -1,0 +1,75 @@
+"""Training-loop utilities: multi-step scan trainer matches the step-by-
+step trainer exactly; staged training freezes what it should."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dp_gp_lvm_tpu.data import synthetic
+from dp_gp_lvm_tpu.models import bgplvm
+from dp_gp_lvm_tpu.train import staged
+from dp_gp_lvm_tpu.train.loop import (
+    init_state,
+    make_multi_step_fn,
+    make_step_fn,
+)
+
+
+def _setup():
+    Y, _ = synthetic.toy_gplvm(jax.random.PRNGKey(0), n=20, d=4, q_true=2)
+    cfg = bgplvm.Config(num_latent=2, num_inducing=6)
+    params = bgplvm.init_params(jax.random.PRNGKey(1), Y, cfg)
+    return Y, cfg, params
+
+
+def test_multi_step_matches_single_steps():
+    Y, cfg, params = _setup()
+    loss_fn = lambda p, y: bgplvm.loss(p, y, cfg)
+    opt = optax.adam(1e-2)
+
+    step = make_step_fn(loss_fn, opt, donate=False)
+    s1 = init_state(params, opt)
+    for _ in range(5):
+        s1, m = step(s1, Y)
+
+    multi = make_multi_step_fn(loss_fn, opt, num_inner=5)
+    s2 = init_state(params, opt)
+    s2, losses = multi(s2, Y)
+
+    np.testing.assert_allclose(float(m["loss"]), float(losses[-1]),
+                               rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-8)
+
+
+def test_staged_fit_freezes_hypers():
+    Y, cfg, params = _setup()
+    loss_fn = lambda p, y: bgplvm.loss(p, y, cfg)
+    out, elbos = staged.staged_fit(
+        loss_fn, params, (Y,),
+        stages=[(20, staged.variational_only)], lr=1e-2,
+    )
+    # frozen in stage 1:
+    for k in ("raw_variance", "raw_ard", "raw_noise"):
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(params[k]))
+    # trained in stage 1:
+    assert not np.allclose(np.asarray(out["qx_mean"]),
+                           np.asarray(params["qx_mean"]))
+
+
+def test_staged_fit_full_schedule_improves():
+    Y, cfg, params = _setup()
+    loss_fn = lambda p, y: bgplvm.loss(p, y, cfg)
+    e0 = float(bgplvm.elbo(params, Y, cfg))
+    out, elbos = staged.staged_fit(
+        loss_fn, params, (Y,),
+        stages=[(30, staged.variational_only), (60, staged.everything)],
+        lr=2e-2,
+    )
+    e1 = float(bgplvm.elbo(out, Y, cfg))
+    assert e1 > e0
