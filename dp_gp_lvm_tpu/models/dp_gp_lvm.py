@@ -108,13 +108,16 @@ def per_dim_atom_bound(
     mu, s = hyp["qx_mean"], hyp["qx_var"]
 
     def atom_bound(variance, ard, z, noise):
-        p0, p1, p2 = dispatch.psi_stats(
-            variance, ard, mu, s, z, block_n=config.psi2_block,
-            use_pallas=config.use_pallas, kernel=config.kernel,
-        )
-        kuu = dispatch.gram(variance, ard, z, kernel=config.kernel)
-        stats = suff_stats_from_psi(p0, p1, p2, Y)
-        return collapsed_bound(kuu, stats, noise, policy).per_dim  # (D,)
+        with jax.named_scope("psi_stats"):
+            p0, p1, p2 = dispatch.psi_stats(
+                variance, ard, mu, s, z, block_n=config.psi2_block,
+                use_pallas=config.use_pallas, kernel=config.kernel,
+            )
+        with jax.named_scope("kuu_gram"):
+            kuu = dispatch.gram(variance, ard, z, kernel=config.kernel)
+        with jax.named_scope("collapsed_bound"):
+            stats = suff_stats_from_psi(p0, p1, p2, Y)
+            return collapsed_bound(kuu, stats, noise, policy).per_dim  # (D,)
 
     return jax.vmap(atom_bound)(
         hyp["variance"], hyp["ard"], hyp["z"], hyp["noise"]
