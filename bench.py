@@ -38,7 +38,9 @@ def build(dtype_str: str):
     rng = jax.random.PRNGKey(0)
     Y, _ = synthetic.mocap_like(rng, n=N, d=D, dtype=dtype)
     params = dp_gp_lvm.init_params(rng, Y, config)
-    optimizer = optax.adam(1e-2)
+    from dp_gp_lvm_tpu.train.loop import gp_optimizer
+
+    optimizer = gp_optimizer(params, lr=1e-2)
     opt_state = optimizer.init(params)
 
     @jax.jit

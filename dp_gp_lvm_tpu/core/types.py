@@ -31,11 +31,24 @@ class JitterPolicy:
     (NaNs in the factor) the jitter is multiplied by ``growth`` up to
     ``max_tries`` attempts. This is the numerical 'sanitizer' of this model
     family: a non-PSD K_uu + beta*Psi2 is caught and repaired early.
+
+    ``initial_f32`` replaces ``initial`` when factoring float32 matrices:
+    when an atom's ARD weights legitimately collapse (unused dimensions —
+    expected DP behavior), K_uu approaches rank deficiency and a 1e-6
+    relative jitter leaves chol(K_uu)^-1 amplifying f32 noise into the
+    A = beta L^-1 Psi2 L^-T terms — the dominant f32 training blow-up.
+    The reference never faced this (f64 everywhere).
     """
 
     initial: float = DEFAULT_JITTER
     growth: float = 10.0
     max_tries: int = 6
+    initial_f32: float = 1e-4
+
+    def initial_for(self, dtype) -> float:
+        if jnp.dtype(dtype) == jnp.dtype(jnp.float64):
+            return self.initial
+        return max(self.initial, self.initial_f32)
 
 
 def finfo_eps(dtype) -> float:

@@ -84,7 +84,11 @@ def psi1(variance, ard, mu, s, Z, weights=None):
     cross = jnp.dot(a * mu, Z.T, precision=HIGHEST)                             # (N, M)  MXU
     zsq = jnp.dot(a, (Z * Z).T, precision=HIGHEST)                                # (N, M)  MXU
     quad = row[:, None] - 2.0 * cross + zsq            # (N, M)
-    out = variance * jnp.exp(log_norm[:, None] - 0.5 * quad)
+    # each Psi1 factor is <= 1, so the exponent is <= 0 exactly; the clamp
+    # is a mathematical no-op that stops f32 cancellation error from
+    # reaching exp() as a large positive number (inf) when ARD weights grow
+    expo = jnp.minimum(log_norm[:, None] - 0.5 * quad, 0.0)
+    out = variance * jnp.exp(expo)
     if weights is not None:
         out = out * weights[:, None]
     return out
@@ -108,7 +112,9 @@ def _psi2_block(variance, ard, mu, s, Z, log_e, weights):
         + (t - 0.25 * p)[:, None, :]
         - 0.5 * c
     )
-    e = jnp.exp(expo)
+    # each per-n Psi2 factor is <= 1 => exponent <= 0 exactly; clamp kills
+    # the f32 cancellation -> exp overflow path (see psi1)
+    e = jnp.exp(jnp.minimum(expo, 0.0))
     if weights is not None:
         e = e * weights[:, None, None]
     return (variance * variance) * jnp.sum(e, axis=0)

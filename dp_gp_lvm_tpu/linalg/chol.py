@@ -33,7 +33,9 @@ def _find_jitter(A_nograd, scale, policy: JitterPolicy):
     def attempt(rel_jitter):
         return jnp.linalg.cholesky(A_nograd + rel_jitter * scale * eye)
 
-    init_jitter = jnp.asarray(policy.initial, A_nograd.dtype)
+    init_jitter = jnp.asarray(
+        policy.initial_for(A_nograd.dtype), A_nograd.dtype
+    )
 
     def cond(state):
         jitter, tries = state

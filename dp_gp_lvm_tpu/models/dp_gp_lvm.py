@@ -93,8 +93,9 @@ def constrain(params):
         "ard": positive(params["raw_ard"]),
         "noise": positive_noise(params["raw_noise"]),
         "phi": jax.nn.softmax(params["phi_logits"], axis=-1),
-        "gamma1": positive(params["raw_gamma1"]),
-        "gamma2": positive(params["raw_gamma2"]),
+        # floor keeps digamma/gammaln away from the 0 pole in f32
+        "gamma1": positive(params["raw_gamma1"], 1e-4),
+        "gamma2": positive(params["raw_gamma2"], 1e-4),
     }
 
 

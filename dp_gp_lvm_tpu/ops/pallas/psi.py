@@ -70,8 +70,10 @@ def _psi2_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref, z_ref, out_ref):
         + half[:, None, :]
         - 0.5 * c
     )
+    # exponent <= 0 exactly (each factor <= 1); clamp is a no-op that
+    # stops f32 cancellation error from overflowing exp()
     contrib = jnp.sum(
-        jnp.exp(expo) * w[:, :, None], axis=0
+        jnp.exp(jnp.minimum(expo, 0.0)) * w[:, :, None], axis=0
     )                                                      # (M, M)
 
     @pl.when(i == 0)
@@ -153,7 +155,8 @@ def _psi1_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref, z_ref, out_ref):
     zsq = jnp.dot(a, (z * z).T, preferred_element_type=jnp.float32)
     quad = row[:, None] - 2.0 * cross + zsq
     var = var_ref[0, 0]
-    out_ref[:] = var * jnp.exp(log_norm[:, None] - 0.5 * quad) * w_ref[:]
+    expo = jnp.minimum(log_norm[:, None] - 0.5 * quad, 0.0)  # <= 0 exactly
+    out_ref[:] = var * jnp.exp(expo) * w_ref[:]
 
 
 def psi1_pallas(

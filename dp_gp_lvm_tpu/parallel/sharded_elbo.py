@@ -140,7 +140,7 @@ def dp_elbo_sharded(
             gaussian.kl_to_standard_normal(qx_mean, s), DATA_AXIS
         )
         dp_terms = stick_breaking.dp_kl_terms(
-            phi, positive(raw_g1), positive(raw_g2),
+            phi, positive(raw_g1, 1e-4), positive(raw_g2, 1e-4),
             jnp.asarray(config.alpha, y.dtype),
         )
         return fit + dp_terms - kl_x

@@ -23,6 +23,57 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+# Kernel hyperparameters and stick posteriors destabilize f32 training when
+# they move as fast as the variational params (ARD collapse drives K_uu
+# toward rank deficiency; see core/types.JitterPolicy). The production
+# recipe: hypers at lr/10, clip, skip non-finite steps.
+HYPER_PARAM_NAMES = frozenset(
+    {"raw_variance", "raw_ard", "raw_noise", "raw_gamma1", "raw_gamma2"}
+)
+
+
+def gp_optimizer(
+    params,
+    lr: float = 1e-2,
+    hyper_lr: float | None = None,
+    clip: float = 100.0,
+    skip_nonfinite: int = 50,
+    decay_steps: int | None = None,
+) -> optax.GradientTransformation:
+    """Stability-tuned optimizer for the GP-LVM family.
+
+    Validated on the DP-GP-LVM mocap config: equal learning rates spike
+    and NaN in f32 around the ARD-collapse regime; a 10x slower rate on
+    kernel hypers descends smoothly (see commit history / PARITY.md).
+    decay_steps adds a cosine decay to lr/20 over that horizon — full-
+    batch Adam oscillates at a constant rate once near an optimum.
+    """
+    hyper_lr = lr / 10.0 if hyper_lr is None else hyper_lr
+    if decay_steps:
+        lr = optax.cosine_decay_schedule(lr, decay_steps, alpha=0.05)
+        hyper_lr = optax.cosine_decay_schedule(
+            hyper_lr, decay_steps, alpha=0.05
+        )
+
+    def label(k):
+        return "hyper" if k in HYPER_PARAM_NAMES else "var"
+
+    labels = {k: label(k) for k in params}
+    if isinstance(params, dict) and "views" in params:
+        labels["views"] = [
+            {kk: label(kk) for kk in vp} for vp in params["views"]
+        ]
+    opt = optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.multi_transform(
+            {"hyper": optax.adam(hyper_lr), "var": optax.adam(lr)}, labels
+        ),
+    )
+    if skip_nonfinite:
+        opt = optax.apply_if_finite(opt, skip_nonfinite)
+    return opt
+
+
 def make_step_fn(
     loss_fn: Callable,
     optimizer: optax.GradientTransformation,

@@ -117,11 +117,9 @@ def main():
           f"device={jax.devices()[0].device_kind}", flush=True)
 
     # ---- train ------------------------------------------------------------
-    # clip-by-global-norm guards rare f32 gradient spikes near Cholesky
-    # escalation events; it is inactive on healthy steps
-    optimizer = optax.chain(
-        optax.clip_by_global_norm(1e3), optax.adam(cfg.lr)
-    )
+    from dp_gp_lvm_tpu.train.loop import gp_optimizer
+
+    optimizer = gp_optimizer(params, lr=cfg.lr, decay_steps=steps)
     step_fn = make_step_fn(loss_fn, optimizer, donate=False)
     state = init_state(params, optimizer)
 
