@@ -21,6 +21,8 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     import jax.numpy as jnp
     import optax
 

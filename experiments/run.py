@@ -33,6 +33,9 @@ def main():
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.f64:
         jax.config.update("jax_enable_x64", True)
 
