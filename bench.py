@@ -36,7 +36,8 @@ def build(dtype_str: str):
 
     dtype = jnp.float64 if dtype_str == "f64" else jnp.float32
     config = dp_gp_lvm.Config(
-        num_latent=Q, num_inducing=M, truncation=T, psi2_block=256
+        num_latent=Q, num_inducing=M, truncation=T, psi2_block=256,
+        fast_chol=True,
     )
     rng = jax.random.PRNGKey(0)
     Y, _ = synthetic.mocap_like(rng, n=N, d=D, dtype=dtype)

@@ -68,7 +68,13 @@ def safe_cholesky(A, policy: JitterPolicy = JitterPolicy()):
     scale = jnp.maximum(scale, jnp.asarray(1.0, A.dtype))[..., None, None]
     scale = lax.stop_gradient(scale)
 
-    jitter = _find_jitter(lax.stop_gradient(A), scale, policy)
+    if policy.max_tries == 0:
+        # static fast path: no search factorization at all — the hot
+        # training step uses this (failures are rare at the f32 jitter
+        # floor and a non-finite step is skipped by apply_if_finite)
+        jitter = jnp.asarray(policy.initial_for(A.dtype), A.dtype)
+    else:
+        jitter = _find_jitter(lax.stop_gradient(A), scale, policy)
     L = jnp.linalg.cholesky(A + jitter * scale * eye)
     return L, jitter
 

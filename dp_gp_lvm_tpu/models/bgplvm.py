@@ -42,6 +42,7 @@ class Config(NamedTuple):
     psi2_block: int | None = None  # chunk size over N for Psi2 accumulation
     use_pallas: bool = False       # fused Pallas psi kernels (ops/pallas)
     kernel: str = "ard_rbf"        # "ard_rbf" | "linear"
+    fast_chol: bool = False    # skip the jitter search in the hot step
 
 
 def init_params(rng, Y, config: Config):
@@ -73,6 +74,8 @@ def constrain(params):
 
 def elbo_terms(params, Y, config: Config, policy: JitterPolicy = JitterPolicy()):
     """Per-term ELBO decomposition (the primary parity-debugging tool)."""
+    if config.fast_chol:
+        policy = JitterPolicy(max_tries=0)
     hyp = constrain(params)
     mu, s, z = hyp["qx_mean"], hyp["qx_var"], hyp["z"]
     p0, p1, p2 = dispatch.psi_stats(

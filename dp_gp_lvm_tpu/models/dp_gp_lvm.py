@@ -56,6 +56,7 @@ class Config(NamedTuple):
     psi2_block: int | None = None
     use_pallas: bool = False
     kernel: str = "ard_rbf"
+    fast_chol: bool = False    # skip the jitter search in the hot step
 
 
 def init_params(rng, Y, config: Config):
@@ -106,6 +107,8 @@ def per_dim_atom_bound(
 
     vmapped over atoms: batched psi stats, batched chol/solves on the MXU.
     """
+    if config.fast_chol:
+        policy = JitterPolicy(max_tries=0)
     mu, s = hyp["qx_mean"], hyp["qx_var"]
 
     def atom_bound(variance, ard, z, noise):

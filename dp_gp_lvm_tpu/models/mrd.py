@@ -39,6 +39,7 @@ class Config(NamedTuple):
     psi2_block: int | None = None
     use_pallas: bool = False
     kernel: str = "ard_rbf"
+    fast_chol: bool = False    # skip the jitter search in the hot step
 
 
 def init_params(rng, Ys: Sequence[jnp.ndarray], config: Config):
@@ -75,6 +76,8 @@ def constrain_view(vp):
 
 
 def elbo_terms(params, Ys, config: Config, policy: JitterPolicy = JitterPolicy()):
+    if config.fast_chol:
+        policy = JitterPolicy(max_tries=0)
     mu = params["qx_mean"]
     s = positive_variational_var(params["raw_qx_var"])
     fit_per_view = []
