@@ -35,8 +35,11 @@ def build(dtype_str: str):
     from dp_gp_lvm_tpu.models import dp_gp_lvm
 
     dtype = jnp.float64 if dtype_str == "f64" else jnp.float32
+    # psi2_block=None (single shot): at this scale XLA pipelines the full
+    # (T, N, M, M) tile better than a serialized scan (measured: 5.2 vs
+    # 9.5 ms/step); blocks matter only when the tile exceeds HBM.
     config = dp_gp_lvm.Config(
-        num_latent=Q, num_inducing=M, truncation=T, psi2_block=256,
+        num_latent=Q, num_inducing=M, truncation=T, psi2_block=None,
         fast_chol=True,
     )
     rng = jax.random.PRNGKey(0)

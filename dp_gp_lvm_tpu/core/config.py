@@ -45,7 +45,7 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # BASELINE configs[1]
     "c2_sparse_oil": ExperimentConfig(
         name="c2_sparse_oil", model="bgplvm", dataset="oil_flow",
-        n=1000, d=12, q=10, m=50, steps=3000, lr=1e-2, psi2_block=256,
+        n=1000, d=12, q=10, m=50, steps=3000, lr=1e-2,
     ),
     # BASELINE configs[2]
     "c3_mrd_twoview": ExperimentConfig(
@@ -56,13 +56,12 @@ CONFIGS: dict[str, ExperimentConfig] = {
     "c4_dp_mocap": ExperimentConfig(
         name="c4_dp_mocap", model="dp_gp_lvm", dataset="mocap",
         n=1024, d=59, q=10, m=64, t=20, steps=3000, lr=5e-3,
-        psi2_block=256,
     ),
     # BASELINE configs[4]
     "c5_dp_missing": ExperimentConfig(
         name="c5_dp_missing", model="dp_gp_lvm", dataset="mocap",
         n=1024, d=59, q=10, m=64, t=20, steps=3000, lr=5e-3,
-        psi2_block=256, missing_fraction=0.5,
+        missing_fraction=0.5,
     ),
 }
 

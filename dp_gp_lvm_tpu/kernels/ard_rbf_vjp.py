@@ -209,3 +209,62 @@ def _bwd(block_n, res, G):
 
 
 psi2_analytic.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Psi1 analytic VJP (same derivation style; no blocking needed — the
+# intermediate is only (N, M))
+# ---------------------------------------------------------------------------
+
+
+def _psi1_pieces(variance, ard, mu, s, Z):
+    u = ard[None, :] * s + 1.0
+    a = ard[None, :] / u
+    log_norm = -0.5 * jnp.sum(jnp.log(u), axis=-1)
+    row = jnp.sum(a * mu * mu, axis=-1)
+    cross = jnp.dot(a * mu, Z.T, precision=HIGHEST)
+    zsq = jnp.dot(a, (Z * Z).T, precision=HIGHEST)
+    e = log_norm[:, None] - 0.5 * (row[:, None] - 2.0 * cross + zsq)
+    return u, a, e
+
+
+@jax.custom_vjp
+def psi1_analytic(variance, ard, mu, s, Z):
+    u, a, e = _psi1_pieces(variance, ard, mu, s, Z)
+    return variance * jnp.exp(jnp.minimum(e, 0.0))
+
+
+def _psi1_fwd(variance, ard, mu, s, Z):
+    return psi1_analytic(variance, ard, mu, s, Z), (variance, ard, mu, s, Z)
+
+
+def _psi1_bwd(res, G):
+    variance, ard, mu, s, Z = res
+    u, a, e = _psi1_pieces(variance, ard, mu, s, Z)
+    ec = jnp.exp(jnp.minimum(e, 0.0))
+    gvar = jnp.sum(G * ec)
+    W = variance * ec * (e < 0.0).astype(mu.dtype) * G      # (N, M)
+    A = jnp.sum(W, axis=1)                                  # (N,)
+    WZ = jnp.dot(W, Z, precision=HIGHEST)                   # (N, Q)
+    WZ2 = jnp.dot(W, Z * Z, precision=HIGHEST)              # (N, Q)
+    ga = -0.5 * mu * mu * A[:, None] + mu * WZ - 0.5 * WZ2
+    gmu = a * (-mu * A[:, None] + WZ)
+    gs = ga * (-a * a) - 0.5 * A[:, None] * a
+    gard = jnp.sum(ga / (u * u), axis=0) - 0.5 * jnp.sum(
+        A[:, None] * s / u, axis=0
+    )
+    gz = jnp.dot(W.T, a * mu, precision=HIGHEST) - Z * jnp.dot(
+        W.T, a, precision=HIGHEST
+    )
+    return gvar, gard, gmu, gs, gz
+
+
+psi1_analytic.defvjp(_psi1_fwd, _psi1_bwd)
+
+
+def psi1_weighted(variance, ard, mu, s, Z, weights=None):
+    """Analytic-VJP Psi1; row weights applied outside the custom_vjp."""
+    out = psi1_analytic(variance, ard, mu, s, Z)
+    if weights is not None:
+        out = out * weights[:, None]
+    return out

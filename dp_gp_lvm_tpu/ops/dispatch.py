@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 
 from dp_gp_lvm_tpu.kernels import ard_rbf, linear
-from dp_gp_lvm_tpu.kernels.ard_rbf_vjp import psi2_analytic
+from dp_gp_lvm_tpu.kernels.ard_rbf_vjp import psi1_weighted, psi2_analytic
 from dp_gp_lvm_tpu.ops.pallas import psi as psi_pallas
 
 _PSI2_BLOCK_PALLAS = 32
@@ -56,7 +56,7 @@ def psi_stats(
         # the Pallas wrappers don't thread weights through their VJP yet.
         return (
             ard_rbf.psi0(variance, mu, weights),
-            ard_rbf.psi1(variance, ard, mu, s, Z, weights),
+            psi1_weighted(variance, ard, mu, s, Z, weights),
             psi2_analytic(variance, ard, mu, s, Z, weights, block_n),
         )
     interpret = not _on_tpu()

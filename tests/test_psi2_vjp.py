@@ -86,3 +86,32 @@ def test_inside_jit_and_vmap(setup):
     )
     for a, b in zip(g_ref, g_new):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-9)
+
+
+def test_psi1_analytic_vjp(setup):
+    from dp_gp_lvm_tpu.kernels.ard_rbf_vjp import psi1_weighted
+
+    variance, ard, mu, s, Z, _ = setup
+    G1 = jax.random.normal(jax.random.PRNGKey(8), (N, M))
+    w = jnp.asarray(
+        (np.random.default_rng(2).uniform(size=N) > 0.2).astype(float)
+    )
+    for weights in (None, w):
+        def f_ref(v, a, m_, s_, z_):
+            return jnp.sum(
+                ard_rbf.psi1(v, a, m_, s_, z_, weights=weights) * G1
+            )
+
+        def f_new(v, a, m_, s_, z_):
+            return jnp.sum(psi1_weighted(v, a, m_, s_, z_, weights) * G1)
+
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(
+            variance, ard, mu, s, Z
+        )
+        g_new = jax.grad(f_new, argnums=(0, 1, 2, 3, 4))(
+            variance, ard, mu, s, Z
+        )
+        for a, b in zip(g_ref, g_new):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-9, atol=1e-12
+            )
