@@ -43,6 +43,7 @@ class Config(NamedTuple):
     use_pallas: bool = False       # fused Pallas psi kernels (ops/pallas)
     kernel: str = "ard_rbf"        # "ard_rbf" | "linear"
     fast_chol: bool = False    # skip the jitter search in the hot step
+    hyperprior_std: float = 0.0    # log-normal prior on hypers (0 = off)
 
 
 def init_params(rng, Y, config: Config):
@@ -72,6 +73,20 @@ def constrain(params):
     }
 
 
+
+
+def _log_normal_hyperprior(std, *values):
+    """sum of log N(log v | 0, std^2) up to constants — the weak
+    'default hyperprior' regularizer (SURVEY.md L1); 0 disables."""
+    if not std:
+        return 0.0
+    tot = 0.0
+    for v in values:
+        lv = jnp.log(v)
+        tot = tot - 0.5 * jnp.sum(lv * lv) / (std * std)
+    return tot
+
+
 def elbo_terms(params, Y, config: Config, policy: JitterPolicy = JitterPolicy()):
     """Per-term ELBO decomposition (the primary parity-debugging tool)."""
     if config.fast_chol:
@@ -87,8 +102,12 @@ def elbo_terms(params, Y, config: Config, policy: JitterPolicy = JitterPolicy())
     terms = collapsed_bound(kuu, stats, hyp["noise"], policy)
     fit = jnp.sum(terms.per_dim)
     kl_x = gaussian.kl_to_standard_normal(mu, s)
+    hp = _log_normal_hyperprior(
+        config.hyperprior_std, hyp["variance"], hyp["ard"], hyp["noise"]
+    )
     return {
-        "elbo": fit - kl_x,
+        "elbo": fit - kl_x + hp,
+        "hyperprior": hp,
         "fit": fit,
         "kl_x": kl_x,
         "logdet_b": terms.logdet_b,

@@ -57,6 +57,7 @@ class Config(NamedTuple):
     use_pallas: bool = False
     kernel: str = "ard_rbf"
     fast_chol: bool = False    # skip the jitter search in the hot step
+    hyperprior_std: float = 0.0    # log-normal prior on hypers (0 = off)
 
 
 def init_params(rng, Y, config: Config):
@@ -137,8 +138,14 @@ def elbo_terms(params, Y, config: Config, policy: JitterPolicy = JitterPolicy())
         phi, hyp["gamma1"], hyp["gamma2"], jnp.asarray(config.alpha, Y.dtype)
     )
     kl_x = gaussian.kl_to_standard_normal(hyp["qx_mean"], hyp["qx_var"])
+    from dp_gp_lvm_tpu.models.bgplvm import _log_normal_hyperprior
+
+    hp = _log_normal_hyperprior(
+        config.hyperprior_std, hyp["variance"], hyp["ard"], hyp["noise"]
+    )
     return {
-        "elbo": fit + dp - kl_x,
+        "elbo": fit + dp - kl_x + hp,
+        "hyperprior": hp,
         "fit": fit,
         "dp_terms": dp,
         "kl_x": kl_x,

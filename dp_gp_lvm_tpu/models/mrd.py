@@ -40,6 +40,7 @@ class Config(NamedTuple):
     use_pallas: bool = False
     kernel: str = "ard_rbf"
     fast_chol: bool = False    # skip the jitter search in the hot step
+    hyperprior_std: float = 0.0    # log-normal prior on hypers (0 = off)
 
 
 def init_params(rng, Ys: Sequence[jnp.ndarray], config: Config):
@@ -96,8 +97,18 @@ def elbo_terms(params, Ys, config: Config, policy: JitterPolicy = JitterPolicy()
         fit_per_view.append(jnp.sum(terms.per_dim))
     fit = sum(fit_per_view)
     kl_x = gaussian.kl_to_standard_normal(mu, s)
+    from dp_gp_lvm_tpu.models.bgplvm import _log_normal_hyperprior
+
+    hp = 0.0
+    if config.hyperprior_std:
+        for vp in params["views"]:
+            h = constrain_view(vp)
+            hp = hp + _log_normal_hyperprior(
+                config.hyperprior_std, h["variance"], h["ard"], h["noise"]
+            )
     return {
-        "elbo": fit - kl_x,
+        "elbo": fit - kl_x + hp,
+        "hyperprior": hp,
         "fit": fit,
         "kl_x": kl_x,
         "fit_per_view": jnp.stack(fit_per_view),

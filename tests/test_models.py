@@ -71,3 +71,18 @@ def test_mrd_elbo_improves_and_ard_separates():
     assert e1 > e0 + 1.0
     rel = mrd.ard_relevance(params)
     assert rel.shape == (2, 3)
+
+
+def test_hyperprior_term(toy):
+    Y, _ = toy
+    c_off = bgplvm.Config(num_latent=4, num_inducing=10)
+    c_on = bgplvm.Config(num_latent=4, num_inducing=10, hyperprior_std=1.0)
+    params = bgplvm.init_params(jax.random.PRNGKey(0), Y, c_off)
+    t_off = bgplvm.elbo_terms(params, Y, c_off)
+    t_on = bgplvm.elbo_terms(params, Y, c_on)
+    assert float(t_off["hyperprior"]) == 0.0
+    assert float(t_on["hyperprior"]) < 0.0
+    np.testing.assert_allclose(
+        float(t_on["elbo"] - t_on["hyperprior"]), float(t_off["elbo"]),
+        rtol=1e-10,
+    )

@@ -75,3 +75,20 @@ def test_dp_sharded_under_jit(toy):
         float(f(params, Y)), float(dp_gp_lvm.elbo(params, Y, cfg)),
         rtol=1e-9,
     )
+
+
+def test_dp_sharded_gradients_match(toy):
+    Y = toy
+    cfg = dp_gp_lvm.Config(num_latent=3, num_inducing=8, truncation=4)
+    params = dp_gp_lvm.init_params(jax.random.PRNGKey(2), Y, cfg)
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    from dp_gp_lvm_tpu.parallel.sharded_elbo import dp_loss_sharded
+
+    g1 = jax.grad(lambda p: dp_gp_lvm.loss(p, Y, cfg))(params)
+    g2 = jax.grad(lambda p: dp_loss_sharded(p, Y, cfg, mesh))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        )
