@@ -206,7 +206,8 @@ def psi1_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Differentiable wrappers: Pallas forward, pure-JAX (rematerialized) backward
+# Differentiable wrappers: Pallas forward, hand-derived analytic backward
+# (kernels/ard_rbf_vjp.py; exactness asserted in tests/test_psi2_vjp.py)
 # ---------------------------------------------------------------------------
 
 
@@ -223,13 +224,13 @@ def _psi2_fwd(variance, ard, mu, s, Z, block_n, interpret):
 
 
 def _psi2_bwd(block_n, interpret, res, g):
+    from dp_gp_lvm_tpu.kernels import ard_rbf_vjp
+
     variance, ard, mu, s, Z = res
-    _, vjp = jax.vjp(
-        lambda v, a, m_, s_, z_: ard_rbf.psi2(v, a, m_, s_, z_,
-                                              block_n=block_n),
-        variance, ard, mu, s, Z,
+    gvar, gard, gmu, gs, gz, _ = ard_rbf_vjp._bwd(
+        block_n, (variance, ard, mu, s, Z, None), g
     )
-    return vjp(g)
+    return gvar, gard, gmu, gs, gz
 
 
 psi2_fused.defvjp(_psi2_fwd, _psi2_bwd)
@@ -248,12 +249,10 @@ def _psi1_fwd(variance, ard, mu, s, Z, block_n, interpret):
 
 
 def _psi1_bwd(block_n, interpret, res, g):
+    from dp_gp_lvm_tpu.kernels import ard_rbf_vjp
+
     variance, ard, mu, s, Z = res
-    _, vjp = jax.vjp(
-        lambda v, a, m_, s_, z_: ard_rbf.psi1(v, a, m_, s_, z_),
-        variance, ard, mu, s, Z,
-    )
-    return vjp(g)
+    return ard_rbf_vjp._psi1_bwd((variance, ard, mu, s, Z), g)
 
 
 psi1_fused.defvjp(_psi1_fwd, _psi1_bwd)

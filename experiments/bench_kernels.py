@@ -1,8 +1,13 @@
-"""Microbenchmark: fused Pallas psi kernels vs the XLA pure-JAX path on
-the current default device. Informs the dispatch default (ops/dispatch.py)
-and the bench.py configuration.
+"""Microbenchmark: fused Pallas psi kernels vs the XLA pure-JAX path.
 
-    python experiments/bench_kernels.py [N M Q T]
+Timing methodology: every repetition is CHAINED through a scalar data
+dependency (out -> next input perturbation with zero effect) — on the
+axon-tunneled TPU, timing independent queued calls and blocking on the
+last one under-reports wildly (the runtime does not serialize them the
+way block_until_ready suggests). Training-step timings elsewhere are
+naturally chained through the parameter pytree.
+
+    python experiments/bench_kernels.py [N M Q]
 """
 from __future__ import annotations
 
@@ -21,13 +26,17 @@ from dp_gp_lvm_tpu.kernels import ard_rbf
 from dp_gp_lvm_tpu.ops.pallas import psi as psi_pallas
 
 
-def timeit(f, *args, steps=50):
-    out = f(*args)
-    jax.block_until_ready(out)
+def timeit_chained(make_call, steps=30):
+    """make_call(acc_scalar) -> new array; reps chained via the scalar."""
+    acc = jnp.float32(0.0)
+    out = make_call(acc)
+    acc = jnp.sum(out) * 0.0
+    jax.block_until_ready(acc)
     t0 = time.perf_counter()
     for _ in range(steps):
-        out = f(*args)
-    jax.block_until_ready(out)
+        out = make_call(acc)
+        acc = jnp.sum(out) * 0.0
+    jax.block_until_ready(acc)
     return (time.perf_counter() - t0) / steps * 1e3
 
 
@@ -46,35 +55,32 @@ def main():
 
     interp = jax.default_backend() in ("cpu",)
     print(f"device={jax.devices()[0].device_kind} N={n} M={m} Q={q} "
-          f"interpret={interp}")
+          f"interpret={interp} (chained timing)")
 
-    xla_full = jax.jit(lambda *a: ard_rbf.psi2(*a))
-    xla_blk = jax.jit(
-        lambda *a: ard_rbf.psi2(*a, block_n=256)
-    )
-    print(f"psi2 XLA (single shot): {timeit(xla_full, variance, ard, mu, s, Z):8.3f} ms")
-    print(f"psi2 XLA (block 256):   {timeit(xla_blk, variance, ard, mu, s, Z):8.3f} ms")
-    for blk in (16, 32, 64, 128):
-        f = jax.jit(
-            lambda *a, b=blk: psi_pallas.psi2_pallas(
-                *a, block_n=b, interpret=interp
-            )
-        )
+    def run(tag, fn):
+        f = jax.jit(fn)
         try:
-            ms = timeit(f, variance, ard, mu, s, Z)
-            print(f"psi2 Pallas (block {blk:3d}): {ms:8.3f} ms")
+            ms = timeit_chained(lambda acc: f(variance, ard, mu + acc, s, Z))
+            print(f"{tag:32s} {ms:8.3f} ms")
         except Exception as e:
-            print(f"psi2 Pallas (block {blk:3d}): FAILED {type(e).__name__}: {e}"[:300])
+            print(f"{tag:32s} FAILED {type(e).__name__}: {e}"[:200])
 
-    xla_p1 = jax.jit(lambda *a: ard_rbf.psi1(*a))
-    print(f"psi1 XLA:               {timeit(xla_p1, variance, ard, mu, s, Z):8.3f} ms")
-    f1 = jax.jit(
-        lambda *a: psi_pallas.psi1_pallas(*a, block_n=128, interpret=interp)
-    )
-    try:
-        print(f"psi1 Pallas (block 128): {timeit(f1, variance, ard, mu, s, Z):8.3f} ms")
-    except Exception as e:
-        print(f"psi1 Pallas: FAILED {type(e).__name__}: {e}"[:300])
+    run("psi2 XLA single-shot",
+        lambda v, a, m_, s_, z_: ard_rbf.psi2(v, a, m_, s_, z_))
+    for blk in (256, 1024):
+        if blk < n:
+            run(f"psi2 XLA scan block={blk}",
+                lambda v, a, m_, s_, z_, b=blk: ard_rbf.psi2(
+                    v, a, m_, s_, z_, block_n=b))
+    for blk in (16, 32, 64):
+        run(f"psi2 Pallas block={blk}",
+            lambda v, a, m_, s_, z_, b=blk: psi_pallas.psi2_pallas(
+                v, a, m_, s_, z_, block_n=b, interpret=interp))
+    run("psi1 XLA",
+        lambda v, a, m_, s_, z_: ard_rbf.psi1(v, a, m_, s_, z_))
+    run("psi1 Pallas block=128",
+        lambda v, a, m_, s_, z_: psi_pallas.psi1_pallas(
+            v, a, m_, s_, z_, block_n=128, interpret=interp))
 
 
 if __name__ == "__main__":
