@@ -336,6 +336,104 @@ def impute_dp(
     return mean, var, m_s, s_s, trace
 
 
+# ---------------------------------------------------------------------------
+# MRD: cross-view prediction — infer the shared latent from observed views,
+# predict the held-out view (the canonical MRD task)
+# ---------------------------------------------------------------------------
+
+
+def mrd_posterior(params, Ys, config, policy: JitterPolicy = JitterPolicy()):
+    """One PosteriorCache per view (python list — views differ in D)."""
+    from dp_gp_lvm_tpu.models import mrd as mrd_mod
+    from dp_gp_lvm_tpu.core.transforms import positive_variational_var
+
+    mu = params["qx_mean"]
+    s = positive_variational_var(params["raw_qx_var"])
+    caches = []
+    for vp, Y in zip(params["views"], Ys):
+        hyp = mrd_mod.constrain_view(vp)
+        p0, p1, p2 = dispatch.psi_stats(
+            hyp["variance"], hyp["ard"], mu, s, hyp["z"],
+            block_n=config.psi2_block, kernel=config.kernel,
+        )
+        kuu = dispatch.gram(
+            hyp["variance"], hyp["ard"], hyp["z"], kernel=config.kernel
+        )
+        stats = suff_stats_from_psi(p0, p1, p2, Y)
+        w, L, LB = optimal_qu(kuu, stats, hyp["noise"], policy)
+        caches.append(PosteriorCache(
+            w=w, L=L, LB=LB, variance=hyp["variance"], ard=hyp["ard"],
+            z=hyp["z"], noise=hyp["noise"],
+        ))
+    return caches
+
+
+def mrd_infer_latent(
+    caches,
+    observed: dict[int, jnp.ndarray],
+    m_init,
+    num_steps: int = 200,
+    lr: float = 0.05,
+    kernel: str = "ard_rbf",
+):
+    """Fit q(x*) from the observed views (dict view_index -> (N*, D_v))."""
+    var_params = {
+        "m": m_init,
+        "raw_s": positive_inverse(0.1 * jnp.ones_like(m_init)),
+    }
+    opt = optax.adam(lr)
+    items = sorted(observed.items())
+
+    def objective(vp):
+        s = positive(vp["raw_s"])
+        ell = 0.0
+        for v_idx, y in items:
+            c = caches[v_idx]
+            mask = jnp.ones_like(y)
+            ell = ell + _expected_loglik(c, y, mask, vp["m"], s, kernel)
+        kl = gaussian.kl_to_standard_normal(vp["m"], s)
+        return -(ell - kl)
+
+    def step(carry, _):
+        vp, opt_state = carry
+        val, g = jax.value_and_grad(objective)(vp)
+        updates, opt_state = opt.update(g, opt_state)
+        vp = optax.apply_updates(vp, updates)
+        return (vp, opt_state), val
+
+    (vp, _), trace = jax.lax.scan(
+        step, (var_params, opt.init(var_params)), None, length=num_steps
+    )
+    return vp["m"], positive(vp["raw_s"]), -trace
+
+
+def predict_view_from_views(
+    params,
+    Ys,
+    config,
+    observed: dict[int, jnp.ndarray],
+    target_view: int,
+    num_steps: int = 200,
+    lr: float = 0.05,
+):
+    """MRD cross-view prediction: observe some views of new points, infer
+    the shared q(x*), and predict the target view's mean/variance."""
+    caches = mrd_posterior(params, Ys, config)
+    n_star = next(iter(observed.values())).shape[0]
+    # init from nearest training point in the first observed view
+    v0, y0 = sorted(observed.items())[0]
+    m0 = init_latent_from_nearest(
+        params["qx_mean"], Ys[v0], y0, jnp.ones_like(y0)
+    )
+    m_s, s_s, trace = mrd_infer_latent(
+        caches, observed, m0, num_steps, lr, kernel=config.kernel
+    )
+    mean, var = predict_from_latent(
+        caches[target_view], m_s, s_s, kernel=config.kernel
+    )
+    return mean, var, m_s, s_s, trace
+
+
 def gaussian_predictive_loglik(y_true, mean, var, mask):
     """Moment-matched per-dim predictive log-likelihood, summed over the
     entries selected by mask (use mask = 1 - observed_mask for imputation).

@@ -130,6 +130,47 @@ def make_multi_step_fn(
     return jax.jit(multi_step, donate_argnums=(0,))
 
 
+def fit_lbfgs(
+    loss_fn: Callable,
+    params,
+    data: tuple,
+    num_steps: int = 100,
+    memory_size: int = 15,
+):
+    """L-BFGS training — the reference's ScipyOptimizerInterface analogue
+    (SURVEY.md section 2a 'Optimizer wiring'), as one jitted lax.scan with
+    optax.lbfgs + zoom line search. Best for the smooth full-batch
+    hyperparameter problems (GP regression, SGPR); Adam remains the
+    default for the latent-variable models.
+
+    Returns (params, losses (num_steps,)).
+    """
+    import functools
+
+    opt = optax.lbfgs(memory_size=memory_size)
+    fun = lambda p: loss_fn(p, *data)
+    value_and_grad = optax.value_and_grad_from_state(fun)
+
+    def step(carry, _):
+        p, state = carry
+        value, grad = value_and_grad(p, state=state)
+        updates, state = opt.update(
+            grad, state, p, value=value, grad=grad, value_fn=fun
+        )
+        p = optax.apply_updates(p, updates)
+        return (p, state), value
+
+    @jax.jit
+    def run(p):
+        state = opt.init(p)
+        (p, _), losses = jax.lax.scan(
+            step, (p, state), None, length=num_steps
+        )
+        return p, losses
+
+    return run(params)
+
+
 def fit(
     loss_fn: Callable,
     params,

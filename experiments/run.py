@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--ckpt-every", type=int, default=0)
     ap.add_argument("--data-dir", default=None,
                     help="directory with real oil-flow / AMC files")
+    ap.add_argument("--plots", action="store_true",
+                    help="save latent/ARD/assignment plots to the out dir")
     args = ap.parse_args()
 
     import jax
@@ -180,6 +182,38 @@ def main():
     elif cfg.model == "dp_gp_lvm":
         export_npz(os.path.join(out_dir, "params.npz"),
                    dp_gp_lvm.constrain(state.params))
+
+    if args.plots:
+        from dp_gp_lvm_tpu import viz
+
+        qx = state.params["qx_mean"]
+        viz.plot_latent_scatter(
+            qx, path=os.path.join(out_dir, "latent.png")
+        )
+        if cfg.model == "bgplvm":
+            viz.plot_ard_weights(
+                bgplvm.constrain(state.params)["ard"],
+                path=os.path.join(out_dir, "ard.png"),
+            )
+        elif cfg.model == "mrd":
+            viz.plot_ard_weights(
+                mrd.ard_relevance(state.params),
+                path=os.path.join(out_dir, "ard.png"),
+            )
+        elif cfg.model == "dp_gp_lvm":
+            hyp = dp_gp_lvm.constrain(state.params)
+            viz.plot_ard_weights(
+                hyp["ard"], path=os.path.join(out_dir, "ard.png")
+            )
+            viz.plot_assignment_matrix(
+                hyp["phi"], path=os.path.join(out_dir, "assignments.png")
+            )
+            if hyp["gamma1"].size:
+                viz.plot_stick_weights(
+                    hyp["gamma1"], hyp["gamma2"],
+                    path=os.path.join(out_dir, "sticks.png"),
+                )
+        print(f"plots saved to {out_dir}", flush=True)
 
     with open(os.path.join(out_dir, "result.json"), "w") as fh:
         json.dump(result, fh, indent=2)

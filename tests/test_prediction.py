@@ -77,3 +77,32 @@ def test_dp_impute_runs():
     assert bool(jnp.all(jnp.isfinite(mean)))
     assert bool(jnp.all(var > 0))
     assert float(trace[-1]) > float(trace[0])
+
+
+def test_mrd_cross_view_prediction():
+    """Observe view 1 of held-out points, predict view 2 — must beat the
+    column-mean baseline (shared latent carries the signal)."""
+    from dp_gp_lvm_tpu.models import mrd
+
+    rng = jax.random.PRNGKey(31)
+    Y1, Y2, _ = synthetic.two_view(
+        rng, n=60, d1=6, d2=6, q_shared=2, q_private=1, noise=0.01
+    )
+    Y1_tr, Y1_te = Y1[:48], Y1[48:]
+    Y2_tr, Y2_te = Y2[:48], Y2[48:]
+    cfg = mrd.Config(num_latent=4, num_inducing=12, num_views=2)
+    params = mrd.init_params(jax.random.PRNGKey(32), [Y1_tr, Y2_tr], cfg)
+    params, _ = fit(
+        lambda p, a, b: mrd.loss(p, [a, b], cfg), params, (Y1_tr, Y2_tr),
+        300, lr=2e-2,
+    )
+    mean, var, m_s, s_s, trace = prediction.predict_view_from_views(
+        params, [Y1_tr, Y2_tr], cfg, observed={0: Y1_te}, target_view=1,
+        num_steps=150,
+    )
+    err_model = float(jnp.mean((mean - Y2_te) ** 2))
+    col = jnp.mean(Y2_tr, axis=0, keepdims=True)
+    err_base = float(jnp.mean((jnp.broadcast_to(col, Y2_te.shape) - Y2_te) ** 2))
+    assert err_model < err_base, (err_model, err_base)
+    assert bool(jnp.all(var > 0))
+    assert float(trace[-1]) > float(trace[0])

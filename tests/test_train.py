@@ -73,3 +73,20 @@ def test_staged_fit_full_schedule_improves():
     )
     e1 = float(bgplvm.elbo(out, Y, cfg))
     assert e1 > e0
+
+
+def test_lbfgs_fits_gp_regression():
+    from dp_gp_lvm_tpu.models import gp_regression
+    from dp_gp_lvm_tpu.train.loop import fit_lbfgs
+
+    rng = jax.random.PRNGKey(7)
+    X = jax.random.normal(rng, (40, 2))
+    Y, _ = synthetic.toy_gplvm(jax.random.PRNGKey(8), n=40, d=3, q_true=2)
+    params = gp_regression.init_params(2, dtype=X.dtype)
+    l0 = float(gp_regression.loss(params, X, Y))
+    params, losses = fit_lbfgs(
+        lambda p, x, y: gp_regression.loss(p, x, y), params, (X, Y), 40
+    )
+    l1 = float(gp_regression.loss(params, X, Y))
+    assert np.isfinite(l1)
+    assert l1 < l0 - 1.0, (l0, l1)
