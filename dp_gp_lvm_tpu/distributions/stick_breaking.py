@@ -84,6 +84,23 @@ def dp_kl_terms(phi, gamma1, gamma2, alpha):
     )
 
 
+def alpha_log_prior(alpha, a0: float = 1.0, b0: float = 1.0):
+    """log Gamma(alpha | a0, b0) up to constants — prior for a learnable
+    DP concentration (the paper places a Gamma prior on alpha)."""
+    return (a0 - 1.0) * jnp.log(alpha) - b0 * alpha
+
+
+def alpha_cavi_update(gamma1, gamma2, a0: float = 1.0, b0: float = 1.0):
+    """Closed-form point/variational-mean update for alpha with a
+    Gamma(a0, b0) prior (Blei & Jordan 2006):
+
+        alpha* = (a0 + T - 2) / (b0 - sum_t E[log(1 - v_t)]).
+    """
+    _, e_log_1mv = expected_log_sticks(gamma1, gamma2)
+    t_minus_1 = gamma1.shape[0]
+    return (a0 + t_minus_1 - 1.0) / (b0 - jnp.sum(e_log_1mv))
+
+
 def gamma_cavi_update(phi, alpha):
     """Closed-form coordinate-ascent update for the stick posteriors.
 

@@ -58,6 +58,7 @@ class Config(NamedTuple):
     kernel: str = "ard_rbf"
     fast_chol: bool = False    # skip the jitter search in the hot step
     hyperprior_std: float = 0.0    # log-normal prior on hypers (0 = off)
+    learn_alpha: bool = False      # learnable DP concentration w/ Gamma prior
 
 
 def init_params(rng, Y, config: Config):
@@ -71,7 +72,7 @@ def init_params(rng, Y, config: Config):
     ard0 = jnp.ones((t, q), dtype) * (
         1.0 + 0.05 * jax.random.normal(r_hyp, (t, q), dtype)
     )
-    return {
+    params = {
         "qx_mean": x0,
         "raw_qx_var": positive_inverse(0.5 * jnp.ones_like(x0)),
         "z": jnp.broadcast_to(z0, (t,) + z0.shape).copy(),
@@ -84,10 +85,15 @@ def init_params(rng, Y, config: Config):
             jnp.full((t - 1,), config.alpha, dtype)
         ),
     }
+    if config.learn_alpha:
+        params["raw_alpha"] = positive_inverse(
+            jnp.asarray(config.alpha, dtype)
+        )
+    return params
 
 
 def constrain(params):
-    return {
+    out = {
         "qx_mean": params["qx_mean"],
         "qx_var": positive_variational_var(params["raw_qx_var"]),
         "z": params["z"],
@@ -99,6 +105,9 @@ def constrain(params):
         "gamma1": positive(params["raw_gamma1"], 1e-4),
         "gamma2": positive(params["raw_gamma2"], 1e-4),
     }
+    if "raw_alpha" in params:
+        out["alpha"] = positive(params["raw_alpha"], 1e-3)
+    return out
 
 
 def per_dim_atom_bound(
@@ -134,9 +143,12 @@ def elbo_terms(params, Y, config: Config, policy: JitterPolicy = JitterPolicy())
     f_td = per_dim_atom_bound(hyp, Y, config, policy)     # (T, D)
     phi = hyp["phi"]                                      # (D, T)
     fit = jnp.sum(phi * f_td.T)
+    alpha = hyp.get("alpha", jnp.asarray(config.alpha, Y.dtype))
     dp = stick_breaking.dp_kl_terms(
-        phi, hyp["gamma1"], hyp["gamma2"], jnp.asarray(config.alpha, Y.dtype)
+        phi, hyp["gamma1"], hyp["gamma2"], alpha
     )
+    if "alpha" in hyp:
+        dp = dp + stick_breaking.alpha_log_prior(alpha)
     kl_x = gaussian.kl_to_standard_normal(hyp["qx_mean"], hyp["qx_var"])
     from dp_gp_lvm_tpu.models.bgplvm import _log_normal_hyperprior
 
@@ -168,17 +180,20 @@ def cavi_step(params, Y, config: Config, policy: JitterPolicy = JitterPolicy()):
     optima — usable interleaved with Adam steps on the remaining params.
     """
     hyp = constrain(params)
+    alpha = hyp.get("alpha", jnp.asarray(config.alpha, Y.dtype))
     f_td = per_dim_atom_bound(hyp, Y, config, policy)
     phi = stick_breaking.phi_cavi_update(
         f_td.T, hyp["gamma1"], hyp["gamma2"]
     )
-    g1, g2 = stick_breaking.gamma_cavi_update(
-        phi, jnp.asarray(config.alpha, Y.dtype)
-    )
+    g1, g2 = stick_breaking.gamma_cavi_update(phi, alpha)
     out = dict(params)
     out["phi_logits"] = jnp.log(jnp.maximum(phi, 1e-30))
     out["raw_gamma1"] = positive_inverse(g1)
     out["raw_gamma2"] = positive_inverse(g2)
+    if "raw_alpha" in params:
+        out["raw_alpha"] = positive_inverse(
+            stick_breaking.alpha_cavi_update(g1, g2)
+        )
     return out
 
 

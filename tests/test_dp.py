@@ -92,3 +92,25 @@ def test_assignments_recover_planted_groups(grouped):
     same_purity = max((same == a).mean() for a in np.unique(hard))
     other_purity = max((other == a).mean() for a in np.unique(hard))
     assert same_purity > 0.7 and other_purity > 0.7
+
+
+def test_learnable_alpha(grouped):
+    Y, _ = grouped
+    cfg = dp_gp_lvm.Config(
+        num_latent=2, num_inducing=10, truncation=3, learn_alpha=True
+    )
+    params = dp_gp_lvm.init_params(jax.random.PRNGKey(9), Y, cfg)
+    assert "raw_alpha" in params
+    e = float(dp_gp_lvm.elbo(params, Y, cfg))
+    assert np.isfinite(e)
+    g = jax.grad(dp_gp_lvm.loss)(params, Y, cfg)
+    assert np.isfinite(float(g["raw_alpha"]))
+    # CAVI alpha update is finite and positive
+    p2 = dp_gp_lvm.cavi_step(params, Y, cfg)
+    a2 = float(dp_gp_lvm.constrain(p2)["alpha"])
+    assert a2 > 0 and np.isfinite(a2)
+    # gradient training with learnable alpha improves ELBO
+    params, _ = fit(
+        lambda p, y: dp_gp_lvm.loss(p, y, cfg), params, (Y,), 80, lr=1e-2
+    )
+    assert float(dp_gp_lvm.elbo(params, Y, cfg)) > e
