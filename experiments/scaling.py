@@ -1,0 +1,87 @@
+"""Scaling sweep: honest (parameter-chained) DP-GP-LVM step times across
+model sizes, from the BASELINE headline config up to sizes the reference
+(single-process f64 TF1 on CPU) could not run at all. Produces the
+SCALING.md table.
+
+    python experiments/scaling.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import optax
+
+from dp_gp_lvm_tpu.data import synthetic
+from dp_gp_lvm_tpu.models import dp_gp_lvm
+
+# (N, D, Q, M, T, psi2_block)
+SIZES = [
+    (1024, 60, 10, 64, 20, None),      # BASELINE headline (CMU mocap scale)
+    (4096, 60, 10, 64, 20, None),      # 4x data
+    (8192, 120, 10, 128, 20, 1024),    # 8x data, 2x dims, 2x inducing
+    (16384, 120, 16, 128, 20, 512),    # 16x data, wider latent
+]
+
+
+def measure(n, d, q, m, t, blk, steps=20):
+    cfg = dp_gp_lvm.Config(
+        num_latent=q, num_inducing=m, truncation=t, psi2_block=blk,
+        fast_chol=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    Y, _ = synthetic.mocap_like(rng, n=n, d=d, dtype=jnp.float32)
+    params = dp_gp_lvm.init_params(rng, Y, cfg)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(lambda x: dp_gp_lvm.loss(x, Y, cfg))(p)
+        up, s = opt.update(g, s)
+        return optax.apply_updates(p, up), s, loss
+
+    p, s, loss = step(params, opt_state)
+    loss.block_until_ready()
+    assert bool(jnp.isfinite(loss)), (n, d, q, m, t)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        p, s, loss = step(p, s)
+    loss.block_until_ready()
+    ms = (time.perf_counter() - t0) / steps * 1e3
+    return ms, float(loss)
+
+
+def main():
+    device = jax.devices()[0].device_kind
+    rows = []
+    for n, d, q, m, t, blk in SIZES:
+        try:
+            ms, loss = measure(n, d, q, m, t, blk)
+            print(f"N={n:6d} D={d:4d} Q={q:3d} M={m:4d} T={t:3d} "
+                  f"blk={str(blk):>5s}: {ms:9.3f} ms/step", flush=True)
+            rows.append(dict(n=n, d=d, q=q, m=m, t=t, block=blk,
+                             ms_per_step=round(ms, 3)))
+        except Exception as e:
+            print(f"N={n} FAILED: {type(e).__name__}: {e}"[:200], flush=True)
+            rows.append(dict(n=n, d=d, q=q, m=m, t=t, block=blk,
+                             error=str(e)[:120]))
+    out = {"device": device, "rows": rows}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "..", "scaling_results.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,3 +92,50 @@ def test_dp_sharded_gradients_match(toy):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
         )
+
+
+def test_gspmd_auto_sharding_matches(toy):
+    """jit + NamedSharding (GSPMD) on the plain model code equals the
+    single-device values and gradients."""
+    from dp_gp_lvm_tpu.parallel import auto
+
+    Y = toy
+    cfg = bgplvm.Config(num_latent=3, num_inducing=8)
+    params = bgplvm.init_params(jax.random.PRNGKey(1), Y, cfg)
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    p_shard, y_shard = auto.bgplvm_shardings(mesh)
+    params_p = auto.place(params, p_shard)
+    Y_p = jax.device_put(Y, y_shard)
+    f = auto.auto_sharded_value_and_grad(
+        lambda p, y: bgplvm.loss(p, y, cfg), p_shard, mesh
+    )
+    loss, grads = f(params_p, Y_p)
+    np.testing.assert_allclose(
+        float(loss), float(bgplvm.loss(params, Y, cfg)), rtol=1e-9
+    )
+    g_ref = jax.grad(bgplvm.loss)(params, Y, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(grads)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-9
+        )
+
+
+def test_gspmd_dp_atom_sharding(toy):
+    from dp_gp_lvm_tpu.parallel import auto
+
+    Y = toy
+    cfg = dp_gp_lvm.Config(num_latent=3, num_inducing=8, truncation=4)
+    params = dp_gp_lvm.init_params(jax.random.PRNGKey(2), Y, cfg)
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    p_shard, y_shard = auto.dp_shardings(mesh)
+    params_p = auto.place(params, p_shard)
+    Y_p = jax.device_put(Y, y_shard)
+    f = auto.auto_sharded_value_and_grad(
+        lambda p, y: dp_gp_lvm.loss(p, y, cfg), p_shard, mesh
+    )
+    loss, grads = f(params_p, Y_p)
+    np.testing.assert_allclose(
+        float(loss), float(dp_gp_lvm.loss(params, Y, cfg)), rtol=1e-9
+    )
