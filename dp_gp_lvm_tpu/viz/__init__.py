@@ -4,4 +4,5 @@ from dp_gp_lvm_tpu.viz.plots import (  # noqa: F401
     plot_stick_weights,
     plot_assignment_matrix,
     plot_elbo_trace,
+    plot_skeleton,
 )

@@ -118,3 +118,27 @@ def plot_elbo_trace(elbos, path=None, ax=None):
         fig.savefig(path, dpi=120, bbox_inches="tight")
         plt.close(fig)
     return ax
+
+
+def plot_skeleton(segments, path=None, ax=None, elev=15, azim=-70):
+    """3D stick-figure render of one FK'd mocap frame.
+
+    segments: list of (start (3,), end (3,)) from data/asf.py::fk_frame.
+    """
+    plt = _plt()
+    if ax is None:
+        fig = plt.figure(figsize=(5, 6))
+        ax = fig.add_subplot(111, projection="3d")
+    else:
+        fig = ax.figure
+    for s, e in segments:
+        ax.plot([s[0], e[0]], [s[2], e[2]], [s[1], e[1]],
+                "o-", color="tab:blue", ms=2, lw=1.5)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_xlabel("x")
+    ax.set_ylabel("z")
+    ax.set_zlabel("y")
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return ax
