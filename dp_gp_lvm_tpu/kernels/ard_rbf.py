@@ -35,7 +35,6 @@ All functions follow input dtypes (f64 on the CPU parity path, f32 on TPU).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -9,7 +9,6 @@ GP-model equivalent of a runtime sanitizer (SURVEY.md section 5).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -21,7 +21,7 @@ from dp_gp_lvm_tpu.core.transforms import (
 )
 from dp_gp_lvm_tpu.core.types import JitterPolicy
 from dp_gp_lvm_tpu.kernels import ard_rbf
-from dp_gp_lvm_tpu.linalg import safe_cholesky, tri_solve
+from dp_gp_lvm_tpu.linalg import tri_solve
 from dp_gp_lvm_tpu.models.bound import (
     SuffStats,
     collapsed_bound,

@@ -35,8 +35,6 @@ from dp_gp_lvm_tpu.core.transforms import (
 )
 from dp_gp_lvm_tpu.distributions import gaussian, stick_breaking
 from dp_gp_lvm_tpu.kernels import ard_rbf
-from dp_gp_lvm_tpu.models import bgplvm as bgplvm_mod
-from dp_gp_lvm_tpu.models import dp_gp_lvm as dp_mod
 from dp_gp_lvm_tpu.models.bound import SuffStats, collapsed_bound
 from dp_gp_lvm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 

@@ -13,10 +13,9 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
-import jax
 import optax
 
-from dp_gp_lvm_tpu.train.loop import TrainState, init_state, make_step_fn
+from dp_gp_lvm_tpu.train.loop import init_state, make_step_fn
 
 
 def masked_optimizer(

@@ -31,6 +31,8 @@ def main():
                     help="directory with real oil-flow / AMC files")
     ap.add_argument("--plots", action="store_true",
                     help="save latent/ARD/assignment plots to the out dir")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="enable jax_debug_nans (eager NaN localization)")
     args = ap.parse_args()
 
     import jax
@@ -38,6 +40,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if args.f64:
         jax.config.update("jax_enable_x64", True)
 

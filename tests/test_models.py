@@ -86,3 +86,17 @@ def test_hyperprior_term(toy):
         float(t_on["elbo"] - t_on["hyperprior"]), float(t_off["elbo"]),
         rtol=1e-10,
     )
+
+
+def test_f32_vs_f64_elbo_tolerance(toy):
+    """SURVEY section 4d: the f32 fast path agrees with the f64 parity
+    path to within the f32 tolerance budget at identical params."""
+    Y64, _ = toy
+    cfg = bgplvm.Config(num_latent=4, num_inducing=10)
+    p64 = bgplvm.init_params(jax.random.PRNGKey(0), Y64, cfg)
+    e64 = float(bgplvm.elbo(p64, Y64, cfg))
+    p32 = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), p64)
+    e32 = float(bgplvm.elbo(p32, Y64.astype(jnp.float32), cfg))
+    # note: jitter floors differ between dtypes (1e-6 vs 1e-4 relative);
+    # the tolerance budget covers that intentionally
+    np.testing.assert_allclose(e32, e64, rtol=2e-3)
