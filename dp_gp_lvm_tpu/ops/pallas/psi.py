@@ -205,6 +205,357 @@ def psi1_pallas(
     return out[:n]
 
 
+def _psi2_batched_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref, z_ref,
+                         out_ref):
+    """Grid (T, N/B): atom t on axis 0, data block i on axis 1.
+
+    Identical math to _psi2_kernel but with the DP truncation atoms as an
+    explicit grid dimension — vmapping the single-atom kernel would lift
+    the whole atom batch into VMEM at once (T x block tile > 16 MB),
+    which is exactly the wrong layout; here VMEM holds one atom's block.
+    """
+    a_idx = pl.program_id(0)
+    i = pl.program_id(1)
+    alpha = ard_ref[0, 0, :]                               # (Q,)
+    mu = mu_ref[:]
+    s = s_ref[:]
+    w = w_ref[:]
+    z = z_ref[0]                                           # (M, Q)
+
+    denom = 2.0 * alpha[None, :] * s + 1.0
+    b = alpha[None, :] / denom
+    log_norm = -0.5 * jnp.sum(jnp.log(denom), axis=1)
+    sterm = jnp.sum(b * mu * mu, axis=1)
+    t = jnp.dot(b * mu, z.T, preferred_element_type=jnp.float32)
+    p = jnp.dot(b, (z * z).T, preferred_element_type=jnp.float32)
+
+    zs = z * jnp.sqrt(alpha)[None, :]
+    zn = jnp.sum(zs * zs, axis=1)
+    zd2 = zn[:, None] - 2.0 * jnp.dot(
+        zs, zs.T, preferred_element_type=jnp.float32
+    ) + zn[None, :]
+    log_e = -0.25 * jnp.maximum(zd2, 0.0)
+
+    zb = z[None, :, :] * b[:, None, :]
+    c = jax.lax.dot_general(
+        zb, z, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    half = t - 0.25 * p
+    expo = (
+        log_e[None, :, :]
+        + (log_norm - sterm)[:, None, None]
+        + half[:, :, None]
+        + half[:, None, :]
+        - 0.5 * c
+    )
+    contrib = jnp.sum(
+        jnp.exp(jnp.minimum(expo, 0.0)) * w[:, :, None], axis=0
+    )
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    var = var_ref[a_idx, 0]
+    out_ref[0] += (var * var) * contrib
+
+
+def psi2_batched_pallas(
+    variances,   # (T,)
+    ards,        # (T, Q)
+    mu,          # (N, Q) shared
+    s,           # (N, Q) shared
+    Zs,          # (T, M, Q)
+    weights=None,
+    block_n: int = 256,
+    interpret: bool = False,
+):
+    """Per-atom Psi2 stack (T, M, M) in one kernel, grid (T, N/block)."""
+    t, m, q = Zs.shape
+    n = mu.shape[0]
+    dtype = mu.dtype
+    if weights is None:
+        weights = jnp.ones((n,), dtype)
+    pad = (-n) % block_n
+    if pad:
+        mu = jnp.concatenate([mu, jnp.zeros((pad, q), dtype)], axis=0)
+        s = jnp.concatenate([s, jnp.ones((pad, q), dtype)], axis=0)
+        weights = jnp.concatenate([weights, jnp.zeros((pad,), dtype)], axis=0)
+    n_pad = mu.shape[0]
+    grid = (t, n_pad // block_n)
+
+    return pl.pallas_call(
+        _psi2_batched_kernel,
+        grid=grid,
+        in_specs=[
+            # full (T, 1) scalar table in SMEM, indexed by program_id(0)
+            pl.BlockSpec((t, 1), lambda a, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            # (T, 1, Q): block (1, 1, Q) keeps the last-two-dims tiling
+            # rule satisfied (1 == array dim, Q == array dim)
+            pl.BlockSpec((1, 1, q), lambda a, i: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, q), lambda a, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, q), lambda a, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda a, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, q), lambda a, i: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m, m), lambda a, i: (a, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, m, m), dtype),
+        interpret=interpret,
+    )(
+        variances.astype(dtype)[:, None],
+        ards.astype(dtype)[:, None, :],
+        mu,
+        s,
+        weights[:, None],
+        Zs,
+    )
+
+
+def _psi2_bwd_batched_kernel(
+    var_ref, ard_ref, mu_ref, s_ref, w_ref, zs_ref, g_ref,
+    gvar_ref, gard_ref, gz_ref, v_ref, gmu_ref, gs_ref,
+):
+    """Fused analytic Psi2 backward (see kernels/ard_rbf_vjp.py for the
+    derivation): grid over N-blocks only; the T atoms loop *inside* the
+    kernel so every (B, M, M) tile lives and dies in VMEM/registers. HBM
+    traffic is just the inputs plus gmu/gs blocks and tiny per-atom
+    accumulators — this is what the XLA backward cannot do (its batched-
+    matmul W tiles materialize in HBM).
+
+    Outputs: gvar (T,1), gard (T,Q), gz-partial (T,M,Q), V (T,M,M)
+    [all accumulated across grid steps], gmu/gs (B,Q) per block.
+    The n-independent E0 pulls are finished outside from V.
+    """
+    i = pl.program_id(0)
+    mu = mu_ref[:]                                       # (B, Q)
+    s = s_ref[:]                                         # (B, Q)
+    w = w_ref[:]                                         # (B, 1)
+    t_total = zs_ref.shape[0]
+    b_sz, q = mu.shape
+    m = zs_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        gvar_ref[:] = jnp.zeros_like(gvar_ref)
+        gard_ref[:] = jnp.zeros_like(gard_ref)
+        gz_ref[:] = jnp.zeros_like(gz_ref)
+        v_ref[:] = jnp.zeros_like(v_ref)
+
+    gmu_acc = jnp.zeros((b_sz, q), mu.dtype)
+    gs_acc = jnp.zeros((b_sz, q), mu.dtype)
+
+    def atom_body(t, carry):
+        gmu_acc, gs_acc = carry
+        # dynamic reads keep a leading length-1 dim (pl.ds) — Mosaic's
+        # layout inference crashes on dynamically-indexed rank-reducing
+        # reads inside fori_loop bodies
+        var = var_ref[t, 0]  # scalar SMEM read (dynamic index OK)
+        alpha = ard_ref[pl.ds(t, 1), :][0]               # (Q,)
+        z = zs_ref[pl.ds(t, 1)][0]                       # (M, Q)
+        g = g_ref[pl.ds(t, 1)][0]                        # (M, M)
+
+        u = 2.0 * alpha[None, :] * s + 1.0
+        b = alpha[None, :] / u
+        log_norm = -0.5 * jnp.sum(jnp.log(u), axis=1)
+        sterm = jnp.sum(b * mu * mu, axis=1)
+        t_mat = jnp.dot(b * mu, z.T, preferred_element_type=mu.dtype)
+        p_mat = jnp.dot(b, (z * z).T, preferred_element_type=mu.dtype)
+        zs_sc = z * jnp.sqrt(alpha)[None, :]
+        zn = jnp.sum(zs_sc * zs_sc, axis=1)
+        zd2 = zn[:, None] - 2.0 * jnp.dot(
+            zs_sc, zs_sc.T, preferred_element_type=mu.dtype
+        ) + zn[None, :]
+        log_e = -0.25 * jnp.maximum(zd2, 0.0)
+        zb = z[None, :, :] * b[:, None, :]
+        c = jax.lax.dot_general(
+            zb, z, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=mu.dtype,
+        )
+        half = t_mat - 0.25 * p_mat
+        expo = (
+            log_e[None, :, :]
+            + (log_norm - sterm)[:, None, None]
+            + half[:, :, None]
+            + half[:, None, :]
+            - 0.5 * c
+        )
+        e = jnp.exp(jnp.minimum(expo, 0.0)) * w[:, :, None]
+        # per-m partial row (rank-2 store; Mosaic crashes on scalar
+        # stores/reshape-to-(1,1) of full reductions) — finished outside
+        # single-axis reduces only — Mosaic's layout inference crashes
+        # on multi-axis reductions straight to rank-1
+        gv_m = jnp.sum(jnp.sum(e * g[None, :, :], axis=0), axis=0)  # (M,)
+        wmat = (var * var) * e * (expo < 0.0).astype(mu.dtype) * g[None]
+        a_vec = jnp.sum(jnp.sum(wmat, axis=2), axis=1)   # (B,)
+        rsum = jnp.sum(wmat, axis=2) + jnp.sum(wmat, axis=1)  # (B, M)
+        wz = jax.lax.dot_general(
+            wmat, z, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=mu.dtype,
+        )                                                # (B, M, Q)
+        wtz = jax.lax.dot_general(
+            wmat, z, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=mu.dtype,
+        )                                                # (B, M, Q)
+        u_quad = jnp.sum(wz * z[None, :, :], axis=1)     # (B, Q)
+        rz = jnp.dot(rsum, z, preferred_element_type=mu.dtype)
+        rz2 = jnp.dot(rsum, z * z, preferred_element_type=mu.dtype)
+        v_blk = jnp.sum(wmat, axis=0)                    # (M, M)
+
+        gb = (-mu * mu * a_vec[:, None] + mu * rz - 0.25 * rz2
+              - 0.5 * u_quad)
+        gmu_t = b * (-2.0 * mu * a_vec[:, None] + rz)
+        gs_t = gb * (-2.0 * b * b) - a_vec[:, None] * b
+        gard_blk = jnp.sum(gb / (u * u), axis=0) - jnp.sum(
+            a_vec[:, None] * s / u, axis=0
+        )
+        bz_t = jax.lax.dot_general(
+            rsum, b * mu, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=mu.dtype,
+        )                                                # (M, Q)
+        bz_p = jax.lax.dot_general(
+            rsum, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=mu.dtype,
+        )                                                # (M, Q)
+        bz_c = jnp.sum((wz + wtz) * b[:, None, :], axis=0)  # (M, Q)
+        gz_blk = bz_t - 0.5 * z * bz_p - 0.5 * bz_c
+
+        # (1, ...) shaped stores — Mosaic rejects scalar stores to VMEM
+        gvar_ref[pl.ds(t, 1), :] += gv_m[None, :]
+        gard_ref[pl.ds(t, 1), :] += gard_blk[None, :]
+        gz_ref[pl.ds(t, 1)] += gz_blk[None]
+        v_ref[pl.ds(t, 1)] += v_blk[None]
+        return gmu_acc + gmu_t, gs_acc + gs_t
+
+    gmu_acc, gs_acc = jax.lax.fori_loop(
+        0, t_total, atom_body, (gmu_acc, gs_acc)
+    )
+    gmu_ref[:] = gmu_acc
+    gs_ref[:] = gs_acc
+
+
+def psi2_bwd_batched_pallas(
+    variances, ards, mu, s, Zs, G, weights=None, block_n: int = 64,
+    interpret: bool = False,
+):
+    """Fused backward. Returns (gvar (T,), gard (T,Q), gmu (N,Q),
+    gs (N,Q), gz (T,M,Q)) — E0 pulls finished here from the V output."""
+    t, m, q = Zs.shape
+    n = mu.shape[0]
+    dtype = mu.dtype
+    if weights is None:
+        weights = jnp.ones((n,), dtype)
+    pad = (-n) % block_n
+    if pad:
+        mu = jnp.concatenate([mu, jnp.zeros((pad, q), dtype)], axis=0)
+        s = jnp.concatenate([s, jnp.ones((pad, q), dtype)], axis=0)
+        weights = jnp.concatenate([weights, jnp.zeros((pad,), dtype)], axis=0)
+    n_pad = mu.shape[0]
+    grid = (n_pad // block_n,)
+    out_shapes = (
+        jax.ShapeDtypeStruct((t, m), dtype),      # gvar per-m partials
+        jax.ShapeDtypeStruct((t, q), dtype),      # gard (no E0 yet)
+        jax.ShapeDtypeStruct((t, m, q), dtype),   # gz (no E0 yet)
+        jax.ShapeDtypeStruct((t, m, m), dtype),   # V
+        jax.ShapeDtypeStruct((n_pad, q), dtype),  # gmu
+        jax.ShapeDtypeStruct((n_pad, q), dtype),  # gs
+    )
+    const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    gvar, gard, gz, V, gmu, gs = pl.pallas_call(
+        _psi2_bwd_batched_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, 1), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((t, q), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, q), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, q), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, m, q), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, m, m), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((t, m), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, q), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, m, q), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, m, m), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, q), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, q), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        variances.astype(dtype)[:, None],
+        ards.astype(dtype),
+        mu,
+        s,
+        weights[:, None],
+        Zs,
+        G,
+    )
+    # E0 pulls (n-independent, via V): same algebra as ard_rbf_vjp._bwd
+    HIGHEST = jax.lax.Precision.HIGHEST
+
+    def finish(ard_t, z_t, v_t, gard_t, gz_t):
+        v1 = jnp.sum(v_t, axis=1)
+        v2 = jnp.sum(v_t, axis=0)
+        vz = jnp.dot(v_t, z_t, precision=HIGHEST)
+        vtz = jnp.dot(v_t.T, z_t, precision=HIGHEST)
+        diag_zvz = jnp.sum(z_t * vz, axis=0)
+        gard_f = gard_t - 0.25 * (
+            jnp.dot(v1 + v2, z_t * z_t, precision=HIGHEST) - 2.0 * diag_zvz
+        )
+        gz_f = gz_t - 0.5 * ard_t[None, :] * (
+            z_t * (v1 + v2)[:, None] - (vz + vtz)
+        )
+        return gard_f, gz_f
+
+    gard, gz = jax.vmap(finish)(ards, Zs, V, gard, gz)
+    gvar_final = 2.0 * variances * jnp.sum(gvar, axis=1)
+    return gvar_final, gard, gmu[:n], gs[:n], gz
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def psi2_batched_fused(variances, ards, mu, s, Zs, block_n=256,
+                       interpret=False):
+    """(T, M, M) per-atom Psi2: batched Pallas forward (one kernel, grid
+    (T, N/block)), vmapped analytic backward. The DP-GP-LVM hot path."""
+    return psi2_batched_pallas(variances, ards, mu, s, Zs,
+                               block_n=block_n, interpret=interpret)
+
+
+def _psi2b_fwd(variances, ards, mu, s, Zs, block_n, interpret):
+    out = psi2_batched_pallas(variances, ards, mu, s, Zs,
+                              block_n=block_n, interpret=interpret)
+    return out, (variances, ards, mu, s, Zs)
+
+
+def _psi2b_bwd(block_n, interpret, res, G):
+    variances, ards, mu, s, Zs = res
+    # fused Pallas backward; VMEM holds several (B, M, M) tiles at once,
+    # so cap the block by M (the forward can afford larger blocks)
+    cap = 32 if Zs.shape[1] >= 128 else 64
+    return psi2_bwd_batched_pallas(
+        variances, ards, mu, s, Zs, G,
+        block_n=min(block_n, cap), interpret=interpret,
+    )
+
+
+psi2_batched_fused.defvjp(_psi2b_fwd, _psi2b_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Differentiable wrappers: Pallas forward, hand-derived analytic backward
 # (kernels/ard_rbf_vjp.py; exactness asserted in tests/test_psi2_vjp.py)

@@ -30,7 +30,8 @@ def main():
     from dp_gp_lvm_tpu.models import dp_gp_lvm
 
     cfg = dp_gp_lvm.Config(
-        num_latent=10, num_inducing=64, truncation=20, psi2_block=256
+        num_latent=10, num_inducing=64, truncation=20, psi2_block=None,
+        fast_chol=True,
     )
     rng = jax.random.PRNGKey(0)
     Y, _ = synthetic.mocap_like(rng, n=1024, d=60, dtype=jnp.float32)

@@ -26,11 +26,14 @@ from dp_gp_lvm_tpu.data import synthetic
 from dp_gp_lvm_tpu.models import dp_gp_lvm
 
 # (N, D, Q, M, T, psi2_block)
+# psi2_block=None: small rows single-shot XLA; large rows auto-select the
+# fused Pallas fwd+bwd kernels (Config.use_pallas="auto") with their own
+# VMEM-safe blocks
 SIZES = [
     (1024, 60, 10, 64, 20, None),      # BASELINE headline (CMU mocap scale)
     (4096, 60, 10, 64, 20, None),      # 4x data
-    (8192, 120, 10, 128, 20, 1024),    # 8x data, 2x dims, 2x inducing
-    (16384, 120, 16, 128, 20, 512),    # 16x data, wider latent
+    (8192, 120, 10, 128, 20, None),    # 8x data, 2x dims, 2x inducing
+    (16384, 120, 16, 128, 20, None),   # 16x data, wider latent
 ]
 
 
