@@ -41,6 +41,43 @@ class JsonlLogger:
             self._fh.close()
 
 
+class TensorBoardLogger:
+    """TensorBoard scalar writer (the reference's TF summaries analogue).
+
+    Uses tf.summary when TensorFlow is importable (it is in this image);
+    degrades to a no-op otherwise so the library never hard-depends on TF.
+    """
+
+    def __init__(self, logdir: str):
+        try:
+            import tensorflow as tf  # noqa: PLC0415
+
+            self._tf = tf
+            self._writer = tf.summary.create_file_writer(logdir)
+        except Exception:
+            self._tf = None
+            self._writer = None
+
+    @property
+    def active(self) -> bool:
+        return self._writer is not None
+
+    def log(self, step: int, **scalars: Any):
+        if self._writer is None:
+            return
+        with self._writer.as_default():
+            for k, v in scalars.items():
+                try:
+                    self._tf.summary.scalar(k, float(v), step=int(step))
+                except (TypeError, ValueError):
+                    continue
+        self._writer.flush()
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+
+
 def named_scope(name: str):
     """jax.named_scope passthrough for XLA-level profile attribution."""
     import jax

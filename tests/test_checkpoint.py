@@ -100,3 +100,15 @@ def test_viz_smoke(setup, tmp_path):
     )
     assert os.path.exists(tmp_path / "latent.png")
     assert os.path.exists(tmp_path / "phi.png")
+
+
+def test_tensorboard_logger(tmp_path):
+    from dp_gp_lvm_tpu.train.logging import TensorBoardLogger
+
+    lg = TensorBoardLogger(str(tmp_path / "tb"))
+    lg.log(0, elbo=-5.0, grad_norm=1.5)
+    lg.log(1, elbo=-4.0)
+    lg.close()
+    if lg.active:
+        files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+        assert files, "no event files written"
