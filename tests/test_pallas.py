@@ -137,3 +137,40 @@ def test_dp_elbo_pallas_path_matches():
     e_ref = float(dp_gp_lvm.elbo(params, Y, c_ref))
     e_pal = float(dp_gp_lvm.elbo(params, Y, c_pal))
     np.testing.assert_allclose(e_pal, e_ref, rtol=1e-4)
+
+
+def test_psi2_batched_kernel_matches(setup):
+    """Atom-batched fused forward + fused backward vs references."""
+    from dp_gp_lvm_tpu.ops.pallas.psi import (
+        psi2_batched_fused,
+        psi2_batched_pallas,
+    )
+
+    variance, ard, mu, s, Z = setup
+    t = 3
+    vs = jnp.stack([variance, variance * 1.4, variance * 0.7])
+    ards = jnp.stack([ard, ard * 0.6, ard * 1.3])
+    Zs = jnp.stack([Z, Z + 0.2, Z - 0.1])
+
+    got = psi2_batched_pallas(vs, ards, mu, s, Zs, block_n=8, interpret=True)
+    ref = jax.vmap(lambda v, a, z: ard_rbf.psi2(v, a, mu, s, z))(
+        vs, ards, Zs
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # fused backward vs autodiff of the reference
+    def f_new(v, a, m_, s_, z_):
+        return jnp.sum(psi2_batched_fused(v, a, m_, s_, z_, 8, True) ** 2)
+
+    def f_ref(v, a, m_, s_, z_):
+        out = jax.vmap(lambda vv, aa, zz: ard_rbf.psi2(vv, aa, m_, s_, zz))(
+            v, a, z_
+        )
+        return jnp.sum(out ** 2)
+
+    g_new = jax.grad(f_new, argnums=(0, 1, 2, 3, 4))(vs, ards, mu, s, Zs)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(vs, ards, mu, s, Zs)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
