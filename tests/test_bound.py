@@ -91,3 +91,16 @@ def test_gp_regression_loss_grad_finite(np_rng):
     g = jax.grad(gp_regression.loss)(params, X, Y)
     for leaf in jax.tree_util.tree_leaves(g):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_sgpr_predict_equals_exact_gp_at_z_equals_x(np_rng):
+    """With Z = X the SGPR predictive equals the exact GP predictive."""
+    X, Y = _data(np_rng, n=25, d=2)
+    params = _params(2, X)
+    Xs = jnp.asarray(np_rng.normal(size=(7, 2)))
+    m_exact, v_exact = gp_regression.predict(params, X, Y, Xs, POLICY)
+    m_sgpr, v_sgpr = sparse_gp.predict(params, X, Y, Xs, POLICY)
+    np.testing.assert_allclose(np.asarray(m_sgpr), np.asarray(m_exact),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v_sgpr), np.asarray(v_exact),
+                               rtol=1e-4, atol=1e-6)
