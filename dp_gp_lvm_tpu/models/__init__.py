@@ -5,5 +5,6 @@ from dp_gp_lvm_tpu.models import (  # noqa: F401
     gp_regression,
     mrd,
     prediction,
+    serving,
     sparse_gp,
 )

@@ -106,3 +106,28 @@ def test_mrd_cross_view_prediction():
     assert err_model < err_base, (err_model, err_base)
     assert bool(jnp.all(var > 0))
     assert float(trace[-1]) > float(trace[0])
+
+
+def test_serving_imputer_matches_pipeline(trained_bgplvm):
+    """The compile-once serving imputer returns the same results as the
+    one-shot pipeline, and reuses its compiled program across batches."""
+    from dp_gp_lvm_tpu.models import serving
+
+    params, Y_train, Y_test, cfg = trained_bgplvm
+    d = Y_test.shape[1]
+    mask = jnp.zeros((Y_test.shape[0], d)).at[:, : d // 2].set(1.0)
+    mean_ref, var_ref, *_ = prediction.impute_bgplvm(
+        params, Y_train, cfg, Y_test, mask, num_steps=50, lr=0.05
+    )
+    imputer = serving.make_bgplvm_imputer(
+        params, Y_train, cfg, num_steps=50, lr=0.05
+    )
+    mean, var = imputer(Y_test, mask)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=1e-6, atol=1e-8)
+    # second call with a different mask reuses the compiled program
+    mask2 = jnp.zeros((Y_test.shape[0], d)).at[:, 1::2].set(1.0)
+    mean2, var2 = imputer(Y_test, mask2)
+    assert bool(jnp.all(jnp.isfinite(mean2)))
