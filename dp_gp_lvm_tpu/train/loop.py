@@ -78,18 +78,15 @@ def make_step_fn(
     loss_fn: Callable,
     optimizer: optax.GradientTransformation,
     donate: bool = True,
-    skip_nonfinite: int = 0,
 ):
     """Return jitted `step(state, *data) -> (state, metrics)`.
 
-    skip_nonfinite > 0 wraps the optimizer in `optax.apply_if_finite`: a
-    step whose gradients contain NaN/Inf is *skipped* (params unchanged)
-    instead of poisoning the run — the training-loop arm of the numerical
-    sanitizers (SURVEY.md section 5); the allowed number of consecutive
-    bad steps is the argument.
+    The optimizer is used as given — init the TrainState with the *same*
+    transformation. For non-finite-step skipping (the training-loop arm of
+    the numerical sanitizers, SURVEY.md section 5), build the optimizer
+    with `gp_optimizer(...)` (it wraps in `optax.apply_if_finite`) or wrap
+    explicitly before calling this.
     """
-    if skip_nonfinite:
-        optimizer = optax.apply_if_finite(optimizer, skip_nonfinite)
 
     def step(state: TrainState, *data):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, *data)

@@ -112,3 +112,33 @@ def test_tensorboard_logger(tmp_path):
     if lg.active:
         files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
         assert files, "no event files written"
+
+
+def test_checkpoint_sharded_state(tmp_path):
+    """orbax round-trips device-sharded training state (multi-chip case)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dp_gp_lvm_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs fake devices")
+    from dp_gp_lvm_tpu.data import synthetic as synth
+
+    Y, _ = synth.toy_gplvm(jax.random.PRNGKey(0), n=24, d=4, q_true=2)
+    cfg = bgplvm.Config(num_latent=2, num_inducing=6)
+    params = bgplvm.init_params(jax.random.PRNGKey(1), Y, cfg)
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    row = NamedSharding(mesh, P("data"))
+    params["qx_mean"] = jax.device_put(params["qx_mean"], row)
+    params["raw_qx_var"] = jax.device_put(params["raw_qx_var"], row)
+    opt = optax.adam(1e-2)
+    state = init_state(params, opt)
+    ck = ckpt_lib.Checkpointer(str(tmp_path / "ck"))
+    ck.save(state)
+    restored = ck.restore(init_state(params, opt))
+    ck.close()
+    np.testing.assert_allclose(
+        np.asarray(restored.params["qx_mean"]),
+        np.asarray(params["qx_mean"]),
+    )

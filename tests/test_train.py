@@ -90,3 +90,26 @@ def test_lbfgs_fits_gp_regression():
     l1 = float(gp_regression.loss(params, X, Y))
     assert np.isfinite(l1)
     assert l1 < l0 - 1.0, (l0, l1)
+
+
+def test_skip_nonfinite_step_guard():
+    """Fault injection: a poisoned batch (NaN) must not move the params."""
+    Y, cfg, params = _setup()
+    loss_fn = lambda p, y: bgplvm.loss(p, y, cfg)
+    from dp_gp_lvm_tpu.train.loop import make_step_fn
+
+    opt = optax.apply_if_finite(optax.adam(1e-2), 5)
+    step = make_step_fn(loss_fn, opt, donate=False)
+    state = init_state(params, opt)
+    state, m = step(state, Y)  # healthy step moves params
+    p_after_good = state.params
+    bad = Y.at[0, 0].set(jnp.nan)
+    state, m2 = step(state, bad)  # poisoned step must be skipped
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_after_good),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and training continues normally afterwards
+    state, m3 = step(state, Y)
+    assert np.isfinite(float(m3["loss"]))
