@@ -38,9 +38,11 @@ def build(dtype_str: str):
     # psi2_block=None (single shot): at this scale XLA pipelines the full
     # (T, N, M, M) tile better than a serialized scan (measured: 5.2 vs
     # 9.5 ms/step); blocks matter only when the tile exceeds HBM.
+    # escalating-jitter policy (fast_chol off): the recommended long-run
+    # training configuration — Cholesky failures self-repair instead of
+    # freezing the step (see train.loop.gp_optimizer docstring)
     config = dp_gp_lvm.Config(
         num_latent=Q, num_inducing=M, truncation=T, psi2_block=None,
-        fast_chol=True,
     )
     rng = jax.random.PRNGKey(0)
     Y, _ = synthetic.mocap_like(rng, n=N, d=D, dtype=dtype)

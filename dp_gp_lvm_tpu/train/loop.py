@@ -37,7 +37,7 @@ def gp_optimizer(
     lr: float = 1e-2,
     hyper_lr: float | None = None,
     clip: float = 100.0,
-    skip_nonfinite: int = 50,
+    skip_nonfinite: int = 100_000,
     decay_steps: int | None = None,
 ) -> optax.GradientTransformation:
     """Stability-tuned optimizer for the GP-LVM family.
@@ -47,6 +47,13 @@ def gp_optimizer(
     kernel hypers descends smoothly (see commit history / PARITY.md).
     decay_steps adds a cosine decay to lr/20 over that horizon — full-
     batch Adam oscillates at a constant rate once near an optimum.
+
+    skip_nonfinite is deliberately huge: optax.apply_if_finite APPLIES the
+    non-finite update once max_consecutive_errors is reached — a
+    persistent failure (e.g. a Cholesky that keeps failing at frozen
+    params) would poison the run at a small threshold. With the
+    escalating-jitter Cholesky (JitterPolicy max_tries > 0, the default)
+    failures self-repair, so the counter never accumulates.
     """
     hyper_lr = lr / 10.0 if hyper_lr is None else hyper_lr
     if decay_steps:

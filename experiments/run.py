@@ -97,22 +97,21 @@ def main():
     # ---- model ------------------------------------------------------------
     if cfg.model == "bgplvm":
         mcfg = bgplvm.Config(num_latent=cfg.q, num_inducing=cfg.m,
-                             psi2_block=cfg.psi2_block, fast_chol=True)
+                             psi2_block=cfg.psi2_block)
         params = bgplvm.init_params(rng, data[0], mcfg)
         loss_fn = lambda p, y: bgplvm.loss(p, y, mcfg)
         terms_fn = lambda p: bgplvm.elbo_terms(p, data[0], mcfg)
     elif cfg.model == "mrd":
         mcfg = mrd.Config(num_latent=cfg.q, num_inducing=cfg.m,
                           num_views=len(cfg.views),
-                          psi2_block=cfg.psi2_block, fast_chol=True)
+                          psi2_block=cfg.psi2_block)
         params = mrd.init_params(rng, list(data), mcfg)
         loss_fn = lambda p, *ys: mrd.loss(p, list(ys), mcfg)
         terms_fn = lambda p: mrd.elbo_terms(p, list(data), mcfg)
     elif cfg.model == "dp_gp_lvm":
         mcfg = dp_gp_lvm.Config(num_latent=cfg.q, num_inducing=cfg.m,
                                 truncation=cfg.t, alpha=cfg.alpha,
-                                psi2_block=cfg.psi2_block,
-                                fast_chol=True)
+                                psi2_block=cfg.psi2_block)
         if cfg.missing_fraction > 0:  # config 5: hold out tail rows
             n_test = max(1, cfg.n // 8)
             Y_train, Y_test = data[0][:-n_test], data[0][-n_test:]
