@@ -54,12 +54,12 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # BASELINE configs[3]
     "c4_dp_mocap": ExperimentConfig(
         name="c4_dp_mocap", model="dp_gp_lvm", dataset="mocap",
-        n=1024, d=59, q=10, m=64, t=20, steps=3000, lr=5e-3,
+        n=1024, d=59, q=10, m=64, t=20, steps=8000, lr=3e-3,
     ),
     # BASELINE configs[4]
     "c5_dp_missing": ExperimentConfig(
         name="c5_dp_missing", model="dp_gp_lvm", dataset="mocap",
-        n=1024, d=59, q=10, m=64, t=20, steps=3000, lr=5e-3,
+        n=1024, d=59, q=10, m=64, t=20, steps=8000, lr=3e-3,
         missing_fraction=0.5,
     ),
 }
