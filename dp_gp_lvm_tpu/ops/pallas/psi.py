@@ -13,9 +13,23 @@ Titsias & Lawrence 2010 closed form); equivalence is asserted in
 tests/test_pallas.py via interpret mode on CPU and on real TPU when
 available.
 
-`psi2_fused` wraps the kernel in a custom_vjp whose backward pass
-differentiates the pure-JAX reference implementation (rematerialized) —
-forward fused now, hand-written backward kernel is a later optimization.
+Kernel inventory:
+  - `psi2_pallas` / `psi1_pallas`: single-kernel (one atom) forwards.
+  - `psi2_batched_pallas`: DP path — grid (T, N/block), atoms on the
+    grid (vmapping the single-atom kernel would lift the whole atom
+    batch into VMEM at once).
+  - `_psi2_bwd_batched_kernel` / `psi2_bwd_batched_pallas`: fully fused
+    analytic backward (derivation in kernels/ard_rbf_vjp.py) — grid over
+    N-blocks, atoms looped in-kernel, every (B, M, M) tile VMEM-resident.
+  - `psi2_batched_fused`: custom_vjp pairing the batched forward with the
+    fused backward. 2.4x faster than XLA at N=8192/M=128/T=20; selected
+    automatically by `dp_gp_lvm.Config(use_pallas="auto")` above ~5e8
+    tile elements (XLA's fusions win slightly below).
+
+Mosaic constraints encountered (also in CLAUDE.md): no scalar or
+1-element stores to VMEM, no multi-axis reductions straight to rank-1,
+dynamically-indexed reads inside fori_loop must keep a leading length-1
+dim via pl.ds, VMEM (~16 MB) caps block sizes (B=64 @ M=64, B=32 @ M=128).
 """
 from __future__ import annotations
 

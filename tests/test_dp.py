@@ -114,3 +114,21 @@ def test_learnable_alpha(grouped):
         lambda p, y: dp_gp_lvm.loss(p, y, cfg), params, (Y,), 80, lr=1e-2
     )
     assert float(dp_gp_lvm.elbo(params, Y, cfg)) > e
+
+
+def test_use_pallas_auto_selects_consistently(grouped):
+    """'auto' must agree numerically with the explicit paths it selects."""
+    Y, _ = grouped
+    base = dict(num_latent=2, num_inducing=10, truncation=3)
+    params = dp_gp_lvm.init_params(
+        jax.random.PRNGKey(2), Y, dp_gp_lvm.Config(**base)
+    )
+    e_auto = float(dp_gp_lvm.elbo(params, Y, dp_gp_lvm.Config(**base)))
+    e_xla = float(dp_gp_lvm.elbo(
+        params, Y, dp_gp_lvm.Config(**base, use_pallas=False)
+    ))
+    e_pal = float(dp_gp_lvm.elbo(
+        params, Y, dp_gp_lvm.Config(**base, use_pallas=True)
+    ))
+    np.testing.assert_allclose(e_auto, e_xla, rtol=1e-12)  # below threshold
+    np.testing.assert_allclose(e_pal, e_xla, rtol=1e-5)

@@ -131,3 +131,24 @@ def test_serving_imputer_matches_pipeline(trained_bgplvm):
     mask2 = jnp.zeros((Y_test.shape[0], d)).at[:, 1::2].set(1.0)
     mean2, var2 = imputer(Y_test, mask2)
     assert bool(jnp.all(jnp.isfinite(mean2)))
+
+
+def test_serving_mrd_cross_view_predictor():
+    from dp_gp_lvm_tpu.models import mrd, serving
+
+    rng = jax.random.PRNGKey(41)
+    Y1, Y2, _ = synthetic.two_view(rng, n=40, d1=4, d2=4, q_shared=1,
+                                   q_private=1, noise=0.01)
+    cfg = mrd.Config(num_latent=3, num_inducing=10, num_views=2)
+    params = mrd.init_params(jax.random.PRNGKey(42), [Y1, Y2], cfg)
+    params, _ = fit(
+        lambda p, a, b: mrd.loss(p, [a, b], cfg), params, (Y1, Y2), 100,
+        lr=2e-2,
+    )
+    predictor = serving.make_mrd_cross_view_predictor(
+        params, [Y1, Y2], cfg, observed_view=0, target_view=1,
+        num_steps=50,
+    )
+    mean, var = predictor(Y1[:5])
+    assert mean.shape == (5, 4)
+    assert bool(jnp.all(jnp.isfinite(mean))) and bool(jnp.all(var > 0))
