@@ -138,26 +138,35 @@ def per_dim_atom_bound(
         # whole atom batch into VMEM at once (T x tile > 16 MB)
         import jax as _jax
 
-        from dp_gp_lvm_tpu.kernels.ard_rbf_vjp import psi1_weighted
-        from dp_gp_lvm_tpu.ops.pallas.psi import psi2_batched_fused
+        from dp_gp_lvm_tpu.models.bound import SuffStats
+        from dp_gp_lvm_tpu.ops.pallas.psi import suffstats_batched_fused
 
         interpret = _jax.default_backend() in ("cpu", "gpu")
         # VMEM-safe default block: the bwd kernel holds several
         # (B, M, M) tiles at once
         blk = config.psi2_block or (32 if m_ >= 128 else 64)
-        p2_all = psi2_batched_fused(
-            hyp["variance"], hyp["ard"], mu, s, hyp["z"], blk, interpret,
-        )  # (T, M, M)
+        # one kernel produces Psi2 AND Psi1^T Y per atom — the (T, N, M)
+        # Psi1 tensor never materializes in HBM
+        p2_all, p1y_all = suffstats_batched_fused(
+            hyp["variance"], hyp["ard"], mu, s, hyp["z"], Y, blk, interpret,
+        )
+        n_const = jnp.asarray(Y.shape[0], Y.dtype)
+        yty = jnp.sum(Y * Y, axis=0)
 
-        def atom_bound_p(variance, ard, z, noise, p2):
-            p0 = ard_rbf.psi0(variance, mu)
-            p1 = psi1_weighted(variance, ard, mu, s, z)
+        def atom_bound_p(variance, ard, z, noise, p2, p1y):
             kuu = dispatch.gram(variance, ard, z, kernel=config.kernel)
-            stats = suff_stats_from_psi(p0, p1, p2, Y)
+            stats = SuffStats(
+                psi0=ard_rbf.psi0(variance, mu),
+                psi1T_y=p1y,
+                psi2=p2,
+                yty=yty,
+                n=n_const,
+            )
             return collapsed_bound(kuu, stats, noise, policy).per_dim
 
         return jax.vmap(atom_bound_p)(
-            hyp["variance"], hyp["ard"], hyp["z"], hyp["noise"], p2_all
+            hyp["variance"], hyp["ard"], hyp["z"], hyp["noise"],
+            p2_all, p1y_all,
         )  # (T, D)
 
     def atom_bound(variance, ard, z, noise):

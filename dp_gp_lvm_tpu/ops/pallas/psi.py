@@ -541,6 +541,190 @@ def psi2_bwd_batched_pallas(
     return gvar_final, gard, gmu[:n], gs[:n], gz
 
 
+def _suffstats_batched_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref,
+                              z_ref, y_ref, psi2_ref, p1y_ref):
+    """Grid (T, N/B): per-atom Psi2 AND Psi1^T Y in one pass.
+
+    The Psi1 (T, N, M) tensor never exists: each block computes its
+    psi1 tile in registers/VMEM and immediately contracts it with the
+    Y block on the MXU into the (M, D) accumulator.
+    """
+    a_idx = pl.program_id(0)
+    i = pl.program_id(1)
+    alpha = ard_ref[0, 0, :]
+    mu = mu_ref[:]
+    s = s_ref[:]
+    w = w_ref[:]
+    z = z_ref[0]
+    y = y_ref[:]                                           # (B, D)
+    var = var_ref[a_idx, 0]
+
+    # ---- psi2 block (same math as _psi2_batched_kernel) ----
+    denom = 2.0 * alpha[None, :] * s + 1.0
+    b = alpha[None, :] / denom
+    log_norm = -0.5 * jnp.sum(jnp.log(denom), axis=1)
+    sterm = jnp.sum(b * mu * mu, axis=1)
+    t = jnp.dot(b * mu, z.T, preferred_element_type=mu.dtype)
+    p = jnp.dot(b, (z * z).T, preferred_element_type=mu.dtype)
+    zs = z * jnp.sqrt(alpha)[None, :]
+    zn = jnp.sum(zs * zs, axis=1)
+    zd2 = zn[:, None] - 2.0 * jnp.dot(
+        zs, zs.T, preferred_element_type=mu.dtype
+    ) + zn[None, :]
+    log_e = -0.25 * jnp.maximum(zd2, 0.0)
+    zb = z[None, :, :] * b[:, None, :]
+    c = jax.lax.dot_general(
+        zb, z, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=mu.dtype,
+    )
+    half = t - 0.25 * p
+    expo = (
+        log_e[None, :, :]
+        + (log_norm - sterm)[:, None, None]
+        + half[:, :, None]
+        + half[:, None, :]
+        - 0.5 * c
+    )
+    contrib = jnp.sum(
+        jnp.exp(jnp.minimum(expo, 0.0)) * w[:, :, None], axis=0
+    )
+
+    # ---- psi1 block, contracted immediately: P1Y += psi1^T y ----
+    u1 = alpha[None, :] * s + 1.0
+    a1 = alpha[None, :] / u1
+    log_norm1 = -0.5 * jnp.sum(jnp.log(u1), axis=1)
+    row1 = jnp.sum(a1 * mu * mu, axis=1)
+    cross1 = jnp.dot(a1 * mu, z.T, preferred_element_type=mu.dtype)
+    zsq1 = jnp.dot(a1, (z * z).T, preferred_element_type=mu.dtype)
+    e1 = jnp.minimum(
+        log_norm1[:, None] - 0.5 * (row1[:, None] - 2.0 * cross1 + zsq1),
+        0.0,
+    )
+    psi1_blk = var * jnp.exp(e1) * w                       # (B, M)
+    p1y_blk = jax.lax.dot_general(
+        psi1_blk, y, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=mu.dtype,
+    )                                                      # (M, D)
+
+    @pl.when(i == 0)
+    def _():
+        psi2_ref[:] = jnp.zeros_like(psi2_ref)
+        p1y_ref[:] = jnp.zeros_like(p1y_ref)
+
+    psi2_ref[0] += (var * var) * contrib
+    p1y_ref[0] += p1y_blk
+
+
+def suffstats_batched_pallas(
+    variances, ards, mu, s, Zs, Y, weights=None, block_n: int = 64,
+    interpret: bool = False,
+):
+    """Fused per-atom (Psi2 (T,M,M), Psi1^T Y (T,M,D)) in one kernel."""
+    t, m, q = Zs.shape
+    n, d = Y.shape
+    dtype = mu.dtype
+    if weights is None:
+        weights = jnp.ones((n,), dtype)
+    pad = (-n) % block_n
+    if pad:
+        mu = jnp.concatenate([mu, jnp.zeros((pad, q), dtype)], axis=0)
+        s = jnp.concatenate([s, jnp.ones((pad, q), dtype)], axis=0)
+        weights = jnp.concatenate([weights, jnp.zeros((pad,), dtype)], axis=0)
+        Y = jnp.concatenate([Y, jnp.zeros((pad, d), dtype)], axis=0)
+    n_pad = mu.shape[0]
+    grid = (t, n_pad // block_n)
+    return pl.pallas_call(
+        _suffstats_batched_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, 1), lambda a, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, q), lambda a, i: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, q), lambda a, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, q), lambda a, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda a, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, q), lambda a, i: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda a, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, m, m), lambda a, i: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda a, i: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, m, m), dtype),
+            jax.ShapeDtypeStruct((t, m, d), dtype),
+        ),
+        interpret=interpret,
+    )(
+        variances.astype(dtype)[:, None],
+        ards.astype(dtype)[:, None, :],
+        mu,
+        s,
+        weights[:, None],
+        Zs,
+        Y,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def suffstats_batched_fused(variances, ards, mu, s, Zs, Y, block_n=64,
+                            interpret=False):
+    """(Psi2 (T,M,M), Psi1^T Y (T,M,D)) with fused forward and a mixed
+    backward: fused Pallas kernel for the Psi2 pullback + analytic
+    pure-JAX Psi1 pullback (cheap; (N, M)-sized)."""
+    return suffstats_batched_pallas(variances, ards, mu, s, Zs, Y,
+                                    block_n=block_n, interpret=interpret)
+
+
+def _ssb_fwd(variances, ards, mu, s, Zs, Y, block_n, interpret):
+    out = suffstats_batched_pallas(variances, ards, mu, s, Zs, Y,
+                                   block_n=block_n, interpret=interpret)
+    return out, (variances, ards, mu, s, Zs, Y)
+
+
+def _ssb_bwd(block_n, interpret, res, cts):
+    from dp_gp_lvm_tpu.kernels import ard_rbf_vjp
+
+    variances, ards, mu, s, Zs, Y = res
+    G2, G1Y = cts
+    gvar2, gard2, gmu2, gs2, gz2 = psi2_bwd_batched_pallas(
+        variances, ards, mu, s, Zs, G2,
+        block_n=min(block_n, 32 if Zs.shape[1] >= 128 else 64),
+        interpret=interpret,
+    )
+
+    def one_atom(v, a, z, g1y):
+        # P1Y = psi1^T Y  =>  dL/dpsi1 = Y G1Y^T ; dL/dY += psi1 G1Y
+        g_psi1 = jnp.dot(Y, g1y.T, precision=jax.lax.Precision.HIGHEST)
+        gv, ga, gm, gs_, gz = ard_rbf_vjp._psi1_bwd((v, a, mu, s, z), g_psi1)
+        psi1 = ard_rbf_vjp.psi1_analytic(v, a, mu, s, z)
+        gy = jnp.dot(psi1, g1y, precision=jax.lax.Precision.HIGHEST)
+        return gv, ga, gm, gs_, gz, gy
+
+    gv1, ga1, gm1, gs1, gz1, gy = jax.vmap(one_atom)(
+        variances, ards, Zs, G1Y
+    )
+    return (
+        gvar2 + gv1,
+        gard2 + ga1,
+        gmu2 + jnp.sum(gm1, axis=0),
+        gs2 + jnp.sum(gs1, axis=0),
+        gz2 + gz1,
+        jnp.sum(gy, axis=0),
+    )
+
+
+suffstats_batched_fused.defvjp(_ssb_fwd, _ssb_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def psi2_batched_fused(variances, ards, mu, s, Zs, block_n=256,
                        interpret=False):

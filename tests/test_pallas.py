@@ -174,3 +174,45 @@ def test_psi2_batched_kernel_matches(setup):
     for a, b in zip(g_ref, g_new):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_suffstats_batched_fused_matches(setup):
+    from dp_gp_lvm_tpu.ops.pallas.psi import suffstats_batched_fused
+
+    variance, ard, mu, s, Z = setup
+    t = 3
+    vs = jnp.stack([variance, variance * 1.4, variance * 0.7])
+    ards = jnp.stack([ard, ard * 0.6, ard * 1.3])
+    Zs = jnp.stack([Z, Z + 0.2, Z - 0.1])
+    Y = jax.random.normal(jax.random.PRNGKey(3), (N, 5), jnp.float32)
+
+    p2, p1y = suffstats_batched_fused(vs, ards, mu, s, Zs, Y, 8, True)
+    p2_ref = jax.vmap(lambda v, a, z: ard_rbf.psi2(v, a, mu, s, z))(
+        vs, ards, Zs
+    )
+    p1y_ref = jax.vmap(
+        lambda v, a, z: ard_rbf.psi1(v, a, mu, s, z).T @ Y
+    )(vs, ards, Zs)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p2_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p1y), np.asarray(p1y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+    def f_new(v, a, m_, s_, z_):
+        a2, b2 = suffstats_batched_fused(v, a, m_, s_, z_, Y, 8, True)
+        return jnp.sum(a2 ** 2) + jnp.sum(jnp.sin(b2))
+
+    def f_ref(v, a, m_, s_, z_):
+        a2 = jax.vmap(lambda vv, aa, zz: ard_rbf.psi2(vv, aa, m_, s_, zz))(
+            v, a, z_
+        )
+        b2 = jax.vmap(
+            lambda vv, aa, zz: ard_rbf.psi1(vv, aa, m_, s_, zz).T @ Y
+        )(v, a, z_)
+        return jnp.sum(a2 ** 2) + jnp.sum(jnp.sin(b2))
+
+    g_new = jax.grad(f_new, argnums=(0, 1, 2, 3, 4))(vs, ards, mu, s, Zs)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(vs, ards, mu, s, Zs)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
