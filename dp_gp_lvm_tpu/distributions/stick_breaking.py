@@ -91,14 +91,15 @@ def alpha_log_prior(alpha, a0: float = 1.0, b0: float = 1.0):
 
 
 def alpha_cavi_update(gamma1, gamma2, a0: float = 1.0, b0: float = 1.0):
-    """Closed-form point/variational-mean update for alpha with a
-    Gamma(a0, b0) prior (Blei & Jordan 2006):
+    """Variational-mean update for alpha with a Gamma(a0, b0) prior.
 
-        alpha* = (a0 + T - 2) / (b0 - sum_t E[log(1 - v_t)]).
+    Blei & Jordan (2006): q(alpha) = Gamma(w1, w2) with w1 = a0 + (T - 1)
+    (one pseudo-count per stick; gamma1.shape[0] == T - 1) and
+    w2 = b0 - sum_t E[log(1 - v_t)]; the update returns the mean w1 / w2.
     """
     _, e_log_1mv = expected_log_sticks(gamma1, gamma2)
     t_minus_1 = gamma1.shape[0]
-    return (a0 + t_minus_1 - 1.0) / (b0 - jnp.sum(e_log_1mv))
+    return (a0 + t_minus_1) / (b0 - jnp.sum(e_log_1mv))
 
 
 def gamma_cavi_update(phi, alpha):

@@ -28,7 +28,8 @@ class TrainState(NamedTuple):
 # toward rank deficiency; see core/types.JitterPolicy). The production
 # recipe: hypers at lr/10, clip, skip non-finite steps.
 HYPER_PARAM_NAMES = frozenset(
-    {"raw_variance", "raw_ard", "raw_noise", "raw_gamma1", "raw_gamma2"}
+    {"raw_variance", "raw_ard", "raw_noise", "raw_gamma1", "raw_gamma2",
+     "raw_alpha"}
 )
 
 

@@ -112,9 +112,21 @@ def main():
         mcfg = dp_gp_lvm.Config(num_latent=cfg.q, num_inducing=cfg.m,
                                 truncation=cfg.t, alpha=cfg.alpha,
                                 psi2_block=cfg.psi2_block)
-        if cfg.missing_fraction > 0:  # config 5: hold out tail rows
-            n_test = max(1, cfg.n // 8)
-            Y_train, Y_test = data[0][:-n_test], data[0][-n_test:]
+        if cfg.missing_fraction > 0:
+            # config 5: strided row holdout (every 8th frame) so the metric
+            # measures interpolation, not trajectory extrapolation; both
+            # splits are re-standardized with TRAIN-split statistics only
+            # (standardizing before the split leaks test moments).
+            import numpy as _np
+
+            Y_all = _np.asarray(data[0])
+            keep = _np.ones(Y_all.shape[0], bool)
+            keep[7::8] = False
+            Y_train_np, Y_test_np = Y_all[keep], Y_all[~keep]
+            mu_tr = Y_train_np.mean(axis=0)
+            sd_tr = Y_train_np.std(axis=0) + 1e-8
+            Y_train = jnp.asarray((Y_train_np - mu_tr) / sd_tr, dtype)
+            Y_test = jnp.asarray((Y_test_np - mu_tr) / sd_tr, dtype)
             data = (Y_train,)
         params = dp_gp_lvm.init_params(rng, data[0], mcfg)
         loss_fn = lambda p, y: dp_gp_lvm.loss(p, y, mcfg)

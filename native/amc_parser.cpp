@@ -14,8 +14,10 @@
 //   ':'-prefixed header lines and '#' comments are skipped;
 //   an all-digit line starts a new frame;
 //   'bone v1 v2 ...' lines append that bone's channels to the frame.
-// Channel order is fixed by the first frame; later frames are validated
-// against it. Trailing partial frames are kept if complete.
+// Channel layout is fixed by the first frame; every later frame is
+// validated bone-by-bone (name AND channel count, in order) against it —
+// a reordered or reshaped frame is a hard error, never a silent column
+// permutation. Short trailing frames are dropped.
 
 #include <cerrno>
 #include <cstdio>
@@ -28,26 +30,55 @@
 namespace {
 
 struct Parser {
-  std::vector<std::string> bone_order;
-  std::unordered_map<std::string, size_t> bone_offset;  // column offset
-  std::unordered_map<std::string, size_t> bone_width;
+  std::vector<std::string> bone_order;   // fixed by the first frame
+  std::vector<size_t> bone_width;        // channels per bone, same order
   std::vector<double> data;     // row-major, cols fixed after first frame
   std::vector<double> current;  // current frame accumulator
   size_t cols = 0;
+  size_t bone_idx = 0;  // next expected bone within the current frame
   bool first_frame_done = false;
   bool in_frame = false;
+
+  // Validate one "bone v1 v2 ..." line against the first frame's layout.
+  bool check_bone(const char* name, size_t name_len, size_t width,
+                  std::string* err) {
+    if (!first_frame_done) {
+      bone_order.emplace_back(name, name_len);
+      bone_width.push_back(width);
+      return true;
+    }
+    if (bone_idx >= bone_order.size()) {
+      *err = "frame has more bones than the first frame";
+      return false;
+    }
+    const std::string& expect = bone_order[bone_idx];
+    if (expect.size() != name_len ||
+        std::memcmp(expect.data(), name, name_len) != 0) {
+      *err = "bone order differs from the first frame (got '" +
+             std::string(name, name_len) + "', expected '" + expect + "')";
+      return false;
+    }
+    if (bone_width[bone_idx] != width) {
+      *err = "bone '" + expect + "' channel count differs from first frame";
+      return false;
+    }
+    ++bone_idx;
+    return true;
+  }
 
   bool flush_frame(std::string* err) {
     if (!in_frame) return true;
     if (!first_frame_done) {
       cols = current.size();
       first_frame_done = true;
+      bone_idx = bone_order.size();
     }
-    if (current.size() != cols) {
+    if (current.size() != cols || bone_idx != bone_order.size()) {
       // ignore short trailing frames; error on mid-file inconsistency
       if (current.size() < cols) {
         current.clear();
         in_frame = false;
+        bone_idx = 0;
         return true;
       }
       *err = "frame with inconsistent channel count";
@@ -55,6 +86,7 @@ struct Parser {
     }
     data.insert(data.end(), current.begin(), current.end());
     current.clear();
+    bone_idx = 0;
     return true;
   }
 };
@@ -99,6 +131,7 @@ int amc_parse(const char* path, double** out_data, long* out_rows,
     const char* q = s;
     while (*q && *q != ' ' && *q != '\t') ++q;
     char* endp = nullptr;
+    size_t width = 0;
     for (const char* v = q; *v;) {
       while (*v == ' ' || *v == '\t') ++v;
       if (!*v) break;
@@ -108,8 +141,10 @@ int amc_parse(const char* path, double** out_data, long* out_rows,
         break;
       }
       p.current.push_back(x);
+      ++width;
       v = endp;
     }
+    if (err.empty()) p.check_bone(s, static_cast<size_t>(q - s), width, &err);
     if (!err.empty()) break;
   }
   if (err.empty()) p.flush_frame(&err);

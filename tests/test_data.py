@@ -52,6 +52,23 @@ def test_parse_amc_native_matches_python(amc_file):
     np.testing.assert_allclose(Y_c, Y_py, rtol=1e-12)
 
 
+def test_parse_amc_native_rejects_reordered_bones(tmp_path):
+    """A frame with equal total width but permuted bones must error, not
+    silently permute columns (the Python parser keys by name)."""
+    if not native_io.available():
+        pytest.skip("no C++ toolchain")
+    bad = AMC_SAMPLE.replace(
+        "2\nroot 0.2 0.3 0.4 -1.6 2.1 0.1\nlowerback 0.6 -0.35 1.1\n"
+        "thorax 4 5 6",
+        "2\nroot 0.2 0.3 0.4 -1.6 2.1 0.1\nthorax 4 5 6\n"
+        "lowerback 0.6 -0.35 1.1",
+    )
+    p = tmp_path / "reordered.amc"
+    p.write_text(bad)
+    with pytest.raises(Exception, match="bone order"):
+        native_io.parse_amc_native(str(p))
+
+
 def test_parse_amc_native_large_roundtrip(tmp_path):
     if not native_io.available():
         pytest.skip("no C++ toolchain")
