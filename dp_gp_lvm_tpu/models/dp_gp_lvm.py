@@ -148,7 +148,8 @@ def per_dim_atom_bound(
         # one kernel produces Psi2 AND Psi1^T Y per atom — the (T, N, M)
         # Psi1 tensor never materializes in HBM
         p2_all, p1y_all = suffstats_batched_fused(
-            hyp["variance"], hyp["ard"], mu, s, hyp["z"], Y, blk, interpret,
+            hyp["variance"], hyp["ard"], mu, s, hyp["z"], Y, None,
+            blk, interpret,
         )
         n_const = jnp.asarray(Y.shape[0], Y.dtype)
         yty = jnp.sum(Y * Y, axis=0)

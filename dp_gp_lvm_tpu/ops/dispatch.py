@@ -48,12 +48,11 @@ def psi_stats(
         )
     if kernel != "ard_rbf":
         raise ValueError(f"unknown kernel {kernel!r}")
-    if not use_pallas or weights is not None:
+    if not use_pallas:
         # default path: pure-JAX forward + hand-derived Psi2 VJP
         # (recompute-based backward, ~13% faster than autodiff on TPU and
         # with only (block, M, M)-sized transients; exactness asserted in
-        # tests/test_psi2_vjp.py). Also used when row weights are needed —
-        # the Pallas wrappers don't thread weights through their VJP yet.
+        # tests/test_psi2_vjp.py).
         return (
             ard_rbf.psi0(variance, mu, weights),
             psi1_weighted(variance, ard, mu, s, Z, weights),
@@ -61,11 +60,17 @@ def psi_stats(
         )
     interpret = not _on_tpu()
     p0 = ard_rbf.psi0(variance, mu, weights)
+    # psi1: Pallas forward is unweighted; the row weight is a rank-1
+    # rescale XLA fuses for free, and it keeps the VJP exact for weights.
     p1 = psi_pallas.psi1_fused(
         variance, ard, mu, s, Z, _PSI1_BLOCK_PALLAS, interpret
     )
+    if weights is not None:
+        p1 = p1 * weights[:, None]
+    # psi2: weights thread through the fused forward AND its VJP
+    # (kernels/ard_rbf_vjp.py backward recompute carries them).
     p2 = psi_pallas.psi2_fused(
-        variance, ard, mu, s, Z, _PSI2_BLOCK_PALLAS, interpret
+        variance, ard, mu, s, Z, weights, _PSI2_BLOCK_PALLAS, interpret
     )
     return p0, p1, p2
 

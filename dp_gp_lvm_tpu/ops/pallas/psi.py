@@ -335,7 +335,7 @@ def psi2_batched_pallas(
 
 def _psi2_bwd_batched_kernel(
     var_ref, ard_ref, mu_ref, s_ref, w_ref, zs_ref, g_ref,
-    gvar_ref, gard_ref, gz_ref, v_ref, gmu_ref, gs_ref,
+    gvar_ref, gard_ref, gz_ref, v_ref, gmu_ref, gs_ref, gw_ref,
 ):
     """Fused analytic Psi2 backward (see kernels/ard_rbf_vjp.py for the
     derivation): grid over N-blocks only; the T atoms loop *inside* the
@@ -345,7 +345,9 @@ def _psi2_bwd_batched_kernel(
     matmul W tiles materialize in HBM).
 
     Outputs: gvar (T,1), gard (T,Q), gz-partial (T,M,Q), V (T,M,M)
-    [all accumulated across grid steps], gmu/gs (B,Q) per block.
+    [all accumulated across grid steps], gmu/gs/gw (B,·) per block
+    (gw_n = sum_t var_t^2 <exp(expo_t,n), G_t> — the row-weight
+    cotangent, so masked/weighted training keeps the fused path).
     The n-independent E0 pulls are finished outside from V.
     """
     i = pl.program_id(0)
@@ -365,9 +367,10 @@ def _psi2_bwd_batched_kernel(
 
     gmu_acc = jnp.zeros((b_sz, q), mu.dtype)
     gs_acc = jnp.zeros((b_sz, q), mu.dtype)
+    gw_acc = jnp.zeros((b_sz, 1), mu.dtype)
 
     def atom_body(t, carry):
-        gmu_acc, gs_acc = carry
+        gmu_acc, gs_acc, gw_acc = carry
         # dynamic reads keep a leading length-1 dim (pl.ds) — Mosaic's
         # layout inference crashes on dynamically-indexed rank-reducing
         # reads inside fori_loop bodies
@@ -401,12 +404,17 @@ def _psi2_bwd_batched_kernel(
             + half[:, None, :]
             - 0.5 * c
         )
-        e = jnp.exp(jnp.minimum(expo, 0.0)) * w[:, :, None]
+        e_raw = jnp.exp(jnp.minimum(expo, 0.0))          # (B, M, M)
+        e = e_raw * w[:, :, None]
         # per-m partial row (rank-2 store; Mosaic crashes on scalar
         # stores/reshape-to-(1,1) of full reductions) — finished outside
         # single-axis reduces only — Mosaic's layout inference crashes
         # on multi-axis reductions straight to rank-1
         gv_m = jnp.sum(jnp.sum(e * g[None, :, :], axis=0), axis=0)  # (M,)
+        # row-weight pullback: Psi2 is linear in w, dPsi2/dw_n = var^2 e_raw
+        gw_t = (var * var) * jnp.sum(
+            jnp.sum(e_raw * g[None, :, :], axis=2), axis=1
+        )                                                # (B,)
         wmat = (var * var) * e * (expo < 0.0).astype(mu.dtype) * g[None]
         a_vec = jnp.sum(jnp.sum(wmat, axis=2), axis=1)   # (B,)
         rsum = jnp.sum(wmat, axis=2) + jnp.sum(wmat, axis=1)  # (B, M)
@@ -446,13 +454,14 @@ def _psi2_bwd_batched_kernel(
         gard_ref[pl.ds(t, 1), :] += gard_blk[None, :]
         gz_ref[pl.ds(t, 1)] += gz_blk[None]
         v_ref[pl.ds(t, 1)] += v_blk[None]
-        return gmu_acc + gmu_t, gs_acc + gs_t
+        return gmu_acc + gmu_t, gs_acc + gs_t, gw_acc + gw_t[:, None]
 
-    gmu_acc, gs_acc = jax.lax.fori_loop(
-        0, t_total, atom_body, (gmu_acc, gs_acc)
+    gmu_acc, gs_acc, gw_acc = jax.lax.fori_loop(
+        0, t_total, atom_body, (gmu_acc, gs_acc, gw_acc)
     )
     gmu_ref[:] = gmu_acc
     gs_ref[:] = gs_acc
+    gw_ref[:] = gw_acc
 
 
 def psi2_bwd_batched_pallas(
@@ -460,7 +469,8 @@ def psi2_bwd_batched_pallas(
     interpret: bool = False,
 ):
     """Fused backward. Returns (gvar (T,), gard (T,Q), gmu (N,Q),
-    gs (N,Q), gz (T,M,Q)) — E0 pulls finished here from the V output."""
+    gs (N,Q), gz (T,M,Q), gw (N,)) — E0 pulls finished here from the V
+    output; gw is the row-weight cotangent (zeros-free, exact)."""
     t, m, q = Zs.shape
     n = mu.shape[0]
     dtype = mu.dtype
@@ -480,10 +490,11 @@ def psi2_bwd_batched_pallas(
         jax.ShapeDtypeStruct((t, m, m), dtype),   # V
         jax.ShapeDtypeStruct((n_pad, q), dtype),  # gmu
         jax.ShapeDtypeStruct((n_pad, q), dtype),  # gs
+        jax.ShapeDtypeStruct((n_pad, 1), dtype),  # gw
     )
     const = lambda i: (0, 0)
     const3 = lambda i: (0, 0, 0)
-    gvar, gard, gz, V, gmu, gs = pl.pallas_call(
+    gvar, gard, gz, V, gmu, gs, gw = pl.pallas_call(
         _psi2_bwd_batched_kernel,
         grid=grid,
         in_specs=[
@@ -506,6 +517,8 @@ def psi2_bwd_batched_pallas(
             pl.BlockSpec((block_n, q), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, q), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shapes,
@@ -538,7 +551,7 @@ def psi2_bwd_batched_pallas(
 
     gard, gz = jax.vmap(finish)(ards, Zs, V, gard, gz)
     gvar_final = 2.0 * variances * jnp.sum(gvar, axis=1)
-    return gvar_final, gard, gmu[:n], gs[:n], gz
+    return gvar_final, gard, gmu[:n], gs[:n], gz, gw[:n, 0]
 
 
 def _suffstats_batched_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref,
@@ -674,44 +687,54 @@ def suffstats_batched_pallas(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def suffstats_batched_fused(variances, ards, mu, s, Zs, Y, block_n=64,
-                            interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def suffstats_batched_fused(variances, ards, mu, s, Zs, Y, weights=None,
+                            block_n=64, interpret=False):
     """(Psi2 (T,M,M), Psi1^T Y (T,M,D)) with fused forward and a mixed
     backward: fused Pallas kernel for the Psi2 pullback + analytic
-    pure-JAX Psi1 pullback (cheap; (N, M)-sized)."""
+    pure-JAX Psi1 pullback (cheap; (N, M)-sized). Row `weights` are fully
+    differentiable — the masked/weighted training regime keeps this fast
+    path (VERDICT r1 item 3)."""
     return suffstats_batched_pallas(variances, ards, mu, s, Zs, Y,
-                                    block_n=block_n, interpret=interpret)
+                                    weights=weights, block_n=block_n,
+                                    interpret=interpret)
 
 
-def _ssb_fwd(variances, ards, mu, s, Zs, Y, block_n, interpret):
+def _ssb_fwd(variances, ards, mu, s, Zs, Y, weights, block_n, interpret):
     out = suffstats_batched_pallas(variances, ards, mu, s, Zs, Y,
-                                   block_n=block_n, interpret=interpret)
-    return out, (variances, ards, mu, s, Zs, Y)
+                                   weights=weights, block_n=block_n,
+                                   interpret=interpret)
+    return out, (variances, ards, mu, s, Zs, Y, weights)
 
 
 def _ssb_bwd(block_n, interpret, res, cts):
     from dp_gp_lvm_tpu.kernels import ard_rbf_vjp
 
-    variances, ards, mu, s, Zs, Y = res
+    variances, ards, mu, s, Zs, Y, weights = res
     G2, G1Y = cts
-    gvar2, gard2, gmu2, gs2, gz2 = psi2_bwd_batched_pallas(
-        variances, ards, mu, s, Zs, G2,
+    gvar2, gard2, gmu2, gs2, gz2, gw2 = psi2_bwd_batched_pallas(
+        variances, ards, mu, s, Zs, G2, weights=weights,
         block_n=min(block_n, 32 if Zs.shape[1] >= 128 else 64),
         interpret=interpret,
     )
 
     def one_atom(v, a, z, g1y):
-        # P1Y = psi1^T Y  =>  dL/dpsi1 = Y G1Y^T ; dL/dY += psi1 G1Y
-        g_psi1 = jnp.dot(Y, g1y.T, precision=jax.lax.Precision.HIGHEST)
+        # P1Y = (w . psi1)^T Y  =>  dL/dpsi1 = w (Y G1Y^T);
+        # dL/dY = w (psi1 G1Y);  dL/dw_n = <psi1_n, (Y G1Y^T)_n>.
+        yg = jnp.dot(Y, g1y.T, precision=jax.lax.Precision.HIGHEST)
+        g_psi1 = yg if weights is None else yg * weights[:, None]
         gv, ga, gm, gs_, gz = ard_rbf_vjp._psi1_bwd((v, a, mu, s, z), g_psi1)
         psi1 = ard_rbf_vjp.psi1_analytic(v, a, mu, s, z)
         gy = jnp.dot(psi1, g1y, precision=jax.lax.Precision.HIGHEST)
-        return gv, ga, gm, gs_, gz, gy
+        if weights is not None:
+            gy = gy * weights[:, None]
+        gw1 = jnp.sum(psi1 * yg, axis=1)
+        return gv, ga, gm, gs_, gz, gy, gw1
 
-    gv1, ga1, gm1, gs1, gz1, gy = jax.vmap(one_atom)(
+    gv1, ga1, gm1, gs1, gz1, gy, gw1 = jax.vmap(one_atom)(
         variances, ards, Zs, G1Y
     )
+    gw = None if weights is None else gw2 + jnp.sum(gw1, axis=0)
     return (
         gvar2 + gv1,
         gard2 + ga1,
@@ -719,36 +742,39 @@ def _ssb_bwd(block_n, interpret, res, cts):
         gs2 + jnp.sum(gs1, axis=0),
         gz2 + gz1,
         jnp.sum(gy, axis=0),
+        gw,
     )
 
 
 suffstats_batched_fused.defvjp(_ssb_fwd, _ssb_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def psi2_batched_fused(variances, ards, mu, s, Zs, block_n=256,
-                       interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def psi2_batched_fused(variances, ards, mu, s, Zs, weights=None,
+                       block_n=256, interpret=False):
     """(T, M, M) per-atom Psi2: batched Pallas forward (one kernel, grid
-    (T, N/block)), vmapped analytic backward. The DP-GP-LVM hot path."""
-    return psi2_batched_pallas(variances, ards, mu, s, Zs,
+    (T, N/block)), fused Pallas backward. The DP-GP-LVM hot path. Row
+    `weights` are fully differentiable."""
+    return psi2_batched_pallas(variances, ards, mu, s, Zs, weights=weights,
                                block_n=block_n, interpret=interpret)
 
 
-def _psi2b_fwd(variances, ards, mu, s, Zs, block_n, interpret):
-    out = psi2_batched_pallas(variances, ards, mu, s, Zs,
+def _psi2b_fwd(variances, ards, mu, s, Zs, weights, block_n, interpret):
+    out = psi2_batched_pallas(variances, ards, mu, s, Zs, weights=weights,
                               block_n=block_n, interpret=interpret)
-    return out, (variances, ards, mu, s, Zs)
+    return out, (variances, ards, mu, s, Zs, weights)
 
 
 def _psi2b_bwd(block_n, interpret, res, G):
-    variances, ards, mu, s, Zs = res
+    variances, ards, mu, s, Zs, weights = res
     # fused Pallas backward; VMEM holds several (B, M, M) tiles at once,
     # so cap the block by M (the forward can afford larger blocks)
     cap = 32 if Zs.shape[1] >= 128 else 64
-    return psi2_bwd_batched_pallas(
-        variances, ards, mu, s, Zs, G,
+    gvar, gard, gmu, gs, gz, gw = psi2_bwd_batched_pallas(
+        variances, ards, mu, s, Zs, G, weights=weights,
         block_n=min(block_n, cap), interpret=interpret,
     )
+    return gvar, gard, gmu, gs, gz, (None if weights is None else gw)
 
 
 psi2_batched_fused.defvjp(_psi2b_fwd, _psi2b_bwd)
@@ -760,26 +786,29 @@ psi2_batched_fused.defvjp(_psi2b_fwd, _psi2b_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def psi2_fused(variance, ard, mu, s, Z, block_n=32, interpret=False):
-    return psi2_pallas(variance, ard, mu, s, Z, block_n=block_n,
-                       interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def psi2_fused(variance, ard, mu, s, Z, weights=None, block_n=32,
+               interpret=False):
+    """Single-kernel Psi2: Pallas forward, analytic recompute backward
+    (kernels/ard_rbf_vjp.py). Row `weights` fully differentiable."""
+    return psi2_pallas(variance, ard, mu, s, Z, weights=weights,
+                       block_n=block_n, interpret=interpret)
 
 
-def _psi2_fwd(variance, ard, mu, s, Z, block_n, interpret):
-    out = psi2_pallas(variance, ard, mu, s, Z, block_n=block_n,
-                      interpret=interpret)
-    return out, (variance, ard, mu, s, Z)
+def _psi2_fwd(variance, ard, mu, s, Z, weights, block_n, interpret):
+    out = psi2_pallas(variance, ard, mu, s, Z, weights=weights,
+                      block_n=block_n, interpret=interpret)
+    return out, (variance, ard, mu, s, Z, weights)
 
 
 def _psi2_bwd(block_n, interpret, res, g):
     from dp_gp_lvm_tpu.kernels import ard_rbf_vjp
 
-    variance, ard, mu, s, Z = res
-    gvar, gard, gmu, gs, gz, _ = ard_rbf_vjp._bwd(
-        block_n, (variance, ard, mu, s, Z, None), g
+    variance, ard, mu, s, Z, weights = res
+    gvar, gard, gmu, gs, gz, gw = ard_rbf_vjp._bwd(
+        block_n, (variance, ard, mu, s, Z, weights), g
     )
-    return gvar, gard, gmu, gs, gz
+    return gvar, gard, gmu, gs, gz, gw
 
 
 psi2_fused.defvjp(_psi2_fwd, _psi2_bwd)

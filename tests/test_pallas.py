@@ -70,7 +70,7 @@ def test_psi2_fused_gradients_match(setup):
 
     def f_pallas(v, a, m_, s_, z_):
         return jnp.sum(
-            psi_pallas.psi2_fused(v, a, m_, s_, z_, 16, True) ** 2
+            psi_pallas.psi2_fused(v, a, m_, s_, z_, None, 16, True) ** 2
         )
 
     def f_ref(v, a, m_, s_, z_):
@@ -161,7 +161,9 @@ def test_psi2_batched_kernel_matches(setup):
 
     # fused backward vs autodiff of the reference
     def f_new(v, a, m_, s_, z_):
-        return jnp.sum(psi2_batched_fused(v, a, m_, s_, z_, 8, True) ** 2)
+        return jnp.sum(
+            psi2_batched_fused(v, a, m_, s_, z_, None, 8, True) ** 2
+        )
 
     def f_ref(v, a, m_, s_, z_):
         out = jax.vmap(lambda vv, aa, zz: ard_rbf.psi2(vv, aa, m_, s_, zz))(
@@ -176,6 +178,108 @@ def test_psi2_batched_kernel_matches(setup):
                                    rtol=2e-3, atol=2e-3)
 
 
+def _atom_stack(variance, ard, Z):
+    vs = jnp.stack([variance, variance * 1.4, variance * 0.7])
+    ards = jnp.stack([ard, ard * 0.6, ard * 1.3])
+    Zs = jnp.stack([Z, Z + 0.2, Z - 0.1])
+    return vs, ards, Zs
+
+
+def test_psi2_batched_fused_weighted_gradients(setup):
+    """VERDICT r1 item 3: non-trivial row weights through the fused VJP,
+    including the cotangent w.r.t. the weights themselves."""
+    from dp_gp_lvm_tpu.ops.pallas.psi import psi2_batched_fused
+
+    variance, ard, mu, s, Z = setup
+    vs, ards, Zs = _atom_stack(variance, ard, Z)
+    w = jax.random.uniform(jax.random.PRNGKey(11), (N,), jnp.float32,
+                           0.1, 1.0)
+
+    def f_new(v, a, m_, s_, z_, w_):
+        return jnp.sum(
+            psi2_batched_fused(v, a, m_, s_, z_, w_, 8, True) ** 2
+        )
+
+    def f_ref(v, a, m_, s_, z_, w_):
+        out = jax.vmap(
+            lambda vv, aa, zz: ard_rbf.psi2(vv, aa, m_, s_, zz, weights=w_)
+        )(v, a, z_)
+        return jnp.sum(out ** 2)
+
+    args = (vs, ards, mu, s, Zs, w)
+    np.testing.assert_allclose(float(f_new(*args)), float(f_ref(*args)),
+                               rtol=2e-4)
+    g_new = jax.grad(f_new, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_suffstats_batched_fused_weighted_gradients(setup):
+    from dp_gp_lvm_tpu.ops.pallas.psi import suffstats_batched_fused
+
+    variance, ard, mu, s, Z = setup
+    vs, ards, Zs = _atom_stack(variance, ard, Z)
+    Y = jax.random.normal(jax.random.PRNGKey(3), (N, 5), jnp.float32)
+    # mask-style weights (zeros included) — the missing-data regime
+    w = (jax.random.uniform(jax.random.PRNGKey(12), (N,)) > 0.3).astype(
+        jnp.float32
+    ) * jax.random.uniform(jax.random.PRNGKey(13), (N,), jnp.float32,
+                           0.5, 1.5)
+
+    def f_new(v, a, m_, s_, z_, w_, y_):
+        a2, b2 = suffstats_batched_fused(v, a, m_, s_, z_, y_, w_, 8, True)
+        return jnp.sum(a2 ** 2) + jnp.sum(jnp.sin(b2))
+
+    def f_ref(v, a, m_, s_, z_, w_, y_):
+        a2 = jax.vmap(
+            lambda vv, aa, zz: ard_rbf.psi2(vv, aa, m_, s_, zz, weights=w_)
+        )(v, a, z_)
+        b2 = jax.vmap(
+            lambda vv, aa, zz:
+            (ard_rbf.psi1(vv, aa, m_, s_, zz) * w_[:, None]).T @ y_
+        )(v, a, z_)
+        return jnp.sum(a2 ** 2) + jnp.sum(jnp.sin(b2))
+
+    args = (vs, ards, mu, s, Zs, w, Y)
+    np.testing.assert_allclose(float(f_new(*args)), float(f_ref(*args)),
+                               rtol=2e-4)
+    g_new = jax.grad(f_new, argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_dispatch_weighted_uses_pallas_and_matches(setup):
+    """dispatch.psi_stats no longer special-cases weights away from the
+    fused path: weighted pallas and pure-JAX results + grads agree."""
+    from dp_gp_lvm_tpu.ops import dispatch
+
+    variance, ard, mu, s, Z = setup
+    w = jax.random.uniform(jax.random.PRNGKey(14), (N,), jnp.float32,
+                           0.2, 1.0)
+
+    def total(use_pallas):
+        def f(v, a, m_, s_, w_):
+            p0, p1, p2 = dispatch.psi_stats(
+                v, a, m_, s_, Z, weights=w_, use_pallas=use_pallas
+            )
+            return p0 + jnp.sum(p1 ** 2) + jnp.sum(p2 ** 2)
+        return f
+
+    args = (variance, ard, mu, s, w)
+    v_pal = float(total(True)(*args))
+    v_ref = float(total(False)(*args))
+    np.testing.assert_allclose(v_pal, v_ref, rtol=2e-4)
+    g_pal = jax.grad(total(True), argnums=(0, 1, 2, 3, 4))(*args)
+    g_ref = jax.grad(total(False), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_suffstats_batched_fused_matches(setup):
     from dp_gp_lvm_tpu.ops.pallas.psi import suffstats_batched_fused
 
@@ -186,7 +290,7 @@ def test_suffstats_batched_fused_matches(setup):
     Zs = jnp.stack([Z, Z + 0.2, Z - 0.1])
     Y = jax.random.normal(jax.random.PRNGKey(3), (N, 5), jnp.float32)
 
-    p2, p1y = suffstats_batched_fused(vs, ards, mu, s, Zs, Y, 8, True)
+    p2, p1y = suffstats_batched_fused(vs, ards, mu, s, Zs, Y, None, 8, True)
     p2_ref = jax.vmap(lambda v, a, z: ard_rbf.psi2(v, a, mu, s, z))(
         vs, ards, Zs
     )
@@ -199,7 +303,7 @@ def test_suffstats_batched_fused_matches(setup):
                                rtol=2e-4, atol=2e-4)
 
     def f_new(v, a, m_, s_, z_):
-        a2, b2 = suffstats_batched_fused(v, a, m_, s_, z_, Y, 8, True)
+        a2, b2 = suffstats_batched_fused(v, a, m_, s_, z_, Y, None, 8, True)
         return jnp.sum(a2 ** 2) + jnp.sum(jnp.sin(b2))
 
     def f_ref(v, a, m_, s_, z_):
