@@ -13,10 +13,19 @@ program is:
 This is mathematically exact (not an approximation): the same ELBO as the
 single-device program, bit-differences only from reduction order. For
 DP-GP-LVM the atom axis T additionally shards over "model": each device
-computes its local atoms' per-dim free energies F_td against the psummed
-statistics of its data shard, and the phi-weighted fit psums over both
-axes. Gradients flow through shard_map/psum natively (psum transposes to
-psum), so the same functions serve as training losses under jit.
+computes ALL of its local atoms' sufficient statistics in one fused
+Pallas kernel call (ops/pallas/psi.suffstats_batched_fused — grid
+(T_local, N_local/B), Psi1 never materializes in HBM) when
+config.use_pallas selects it ("auto" decides from the per-device tile
+volume, same crossover rule as models/dp_gp_lvm.py), psums the stacked
+statistics once over "data", and phi-weights the per-atom free energies
+over "model". Gradients flow through shard_map/psum natively (psum
+transposes to psum), so the same functions serve as training losses
+under jit.
+
+The sharded objectives include every term of the single-device ELBOs —
+hyperprior and learnable-alpha included — asserted term-for-term in
+tests/test_parallel.py.
 """
 from __future__ import annotations
 
@@ -35,15 +44,38 @@ from dp_gp_lvm_tpu.core.transforms import (
 )
 from dp_gp_lvm_tpu.distributions import gaussian, stick_breaking
 from dp_gp_lvm_tpu.kernels import ard_rbf
+from dp_gp_lvm_tpu.models.bgplvm import _log_normal_hyperprior
 from dp_gp_lvm_tpu.models.bound import SuffStats, collapsed_bound
+from dp_gp_lvm_tpu.ops import dispatch
+from dp_gp_lvm_tpu.ops.pallas import psi as psi_pallas
 from dp_gp_lvm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
-def _local_stats(variance, ard, mu, s, z, Y, block_n):
-    """Per-shard partial sufficient statistics (no psum yet)."""
-    p0 = ard_rbf.psi0(variance, mu)
-    p1 = ard_rbf.psi1(variance, ard, mu, s, z)
-    p2 = ard_rbf.psi2(variance, ard, mu, s, z, block_n=block_n)
+def _interpret() -> bool:
+    return jax.default_backend() in ("cpu", "gpu")
+
+
+def _resolve_pallas(use_pallas, kernel: str, t: int, n_local: int, m: int):
+    """Static fused-kernel decision from PER-DEVICE shapes (the crossover
+    is about local work; same ~5e8 tile-element rule as dp_gp_lvm)."""
+    if kernel != "ard_rbf":
+        return False
+    if use_pallas == "auto":
+        return t * n_local * m * m > int(5e8)
+    return bool(use_pallas)
+
+
+def _local_stats(variance, ard, mu, s, z, Y, config):
+    """Per-shard partial sufficient statistics (no psum yet), dispatching
+    through ops.dispatch so use_pallas composes with the mesh program."""
+    p0, p1, p2 = dispatch.psi_stats(
+        variance, ard, mu, s, z,
+        block_n=config.psi2_block,
+        use_pallas=_resolve_pallas(
+            config.use_pallas, config.kernel, 1, mu.shape[0], z.shape[0]
+        ),
+        kernel=config.kernel,
+    )
     return SuffStats(
         psi0=p0,
         psi1T_y=jnp.dot(p1.T, Y, precision=_HIGHEST),
@@ -63,103 +95,154 @@ def bgplvm_elbo_sharded(
     """Data-parallel Bayesian GP-LVM ELBO. Y, qx_mean, qx_var shard over
     rows; kernel/inducing params replicate. N must divide the data axis."""
 
-    def program(qx_mean, raw_qx_var, z, raw_var, raw_ard, raw_noise, y):
-        variance = positive(raw_var)
-        ard = positive(raw_ard)
-        noise = positive_noise(raw_noise)
-        s = positive_variational_var(raw_qx_var)
-        stats = _local_stats(
-            variance, ard, qx_mean, s, z, y, config.psi2_block
-        )
+    def program(p, y):
+        variance = positive(p["raw_variance"])
+        ard = positive(p["raw_ard"])
+        noise = positive_noise(p["raw_noise"])
+        s = positive_variational_var(p["raw_qx_var"])
+        stats = _local_stats(variance, ard, p["qx_mean"], s, p["z"], y,
+                             config)
         stats = _psum_stats(stats, DATA_AXIS)
         kl = jax.lax.psum(
-            gaussian.kl_to_standard_normal(qx_mean, s), DATA_AXIS
+            gaussian.kl_to_standard_normal(p["qx_mean"], s), DATA_AXIS
         )
-        kuu = ard_rbf.gram(variance, ard, z)
+        kuu = dispatch.gram(variance, ard, p["z"], kernel=config.kernel)
         terms = collapsed_bound(kuu, stats, noise, policy)
-        return jnp.sum(terms.per_dim) - kl
+        hp = _log_normal_hyperprior(
+            getattr(config, "hyperprior_std", 0.0), variance, ard, noise
+        )
+        return jnp.sum(terms.per_dim) - kl + hp
 
+    pspec = {
+        "qx_mean": P(DATA_AXIS), "raw_qx_var": P(DATA_AXIS),
+        "z": P(), "raw_variance": P(), "raw_ard": P(), "raw_noise": P(),
+    }
     sharded = jax.shard_map(
         program,
         mesh=mesh,
-        in_specs=(
-            P(DATA_AXIS), P(DATA_AXIS),  # qx_mean, raw_qx_var
-            P(), P(), P(), P(),          # z, kernel hypers
-            P(DATA_AXIS),                # Y
-        ),
+        in_specs=(pspec, P(DATA_AXIS)),
         out_specs=P(),
         check_vma=False,
     )
-    return sharded(
-        params["qx_mean"], params["raw_qx_var"], params["z"],
-        params["raw_variance"], params["raw_ard"], params["raw_noise"], Y,
-    )
+    return sharded(params, Y)
 
 
 def bgplvm_loss_sharded(params, Y, config, mesh):
     return -bgplvm_elbo_sharded(params, Y, config, mesh)
 
 
+def _dp_local_stats_batched(variance, ard, mu, s, Zs, y, config, policy):
+    """Stacked per-atom partial sufficient statistics for the local data
+    shard: (Psi0 (Tl,), Psi1^T Y (Tl,M,D), Psi2 (Tl,M,M)) — one fused
+    Pallas kernel when selected, else vmapped pure JAX."""
+    t_local, m = Zs.shape[0], Zs.shape[1]
+    if _resolve_pallas(config.use_pallas, config.kernel, t_local,
+                       mu.shape[0], m):
+        blk = config.psi2_block or (32 if m >= 128 else 64)
+        p2, p1y = psi_pallas.suffstats_batched_fused(
+            variance, ard, mu, s, Zs, y, None, blk, _interpret()
+        )
+    else:
+        p2 = jax.vmap(
+            lambda v, a, zt: ard_rbf.psi2(
+                v, a, mu, s, zt, block_n=config.psi2_block
+            )
+        )(variance, ard, Zs)
+        p1y = jax.vmap(
+            lambda v, a, zt: jnp.dot(
+                ard_rbf.psi1(v, a, mu, s, zt).T, y, precision=_HIGHEST
+            )
+        )(variance, ard, Zs)
+    return SuffStats(
+        psi0=ard_rbf.psi0(variance, mu),      # (Tl,) — broadcasts over atoms
+        psi1T_y=p1y,
+        psi2=p2,
+        yty=jnp.sum(y * y, axis=0),
+        n=jnp.asarray(y.shape[0], y.dtype),
+    )
+
+
 def dp_elbo_sharded(
     params, Y, config, mesh: Mesh, policy: JitterPolicy = JitterPolicy()
 ):
     """2D-parallel DP-GP-LVM ELBO: rows shard over "data", atoms over
-    "model". Requires N % data_axis == 0 and T % model_axis == 0."""
+    "model". Requires N % data_axis == 0 and T % model_axis == 0.
 
-    def program(
-        qx_mean, raw_qx_var, z, raw_var, raw_ard, raw_noise,
-        phi_logits, raw_g1, raw_g2, y,
-    ):
-        s = positive_variational_var(raw_qx_var)
-        # phi is normalized over the FULL atom axis; logits are replicated.
-        phi = jax.nn.softmax(phi_logits, axis=-1)       # (D, T) replicated
+    Includes ALL terms of models/dp_gp_lvm.elbo — phi-weighted fits, DP
+    stick/assignment terms, KL[q(X)], the log-normal hyperprior
+    (psummed over the model axis), and the learnable-alpha Gamma prior
+    when params carry raw_alpha."""
+    learn_alpha = "raw_alpha" in params
+
+    def program(p, y):
+        mu = p["qx_mean"]
+        s = positive_variational_var(p["raw_qx_var"])
+        z = p["z"]                                    # (Tl, M, Q)
+        variance = positive(p["raw_variance"])       # (Tl,)
+        ard = positive(p["raw_ard"])                 # (Tl, Q)
+        noise = positive_noise(p["raw_noise"])       # (Tl,)
+        phi = jax.nn.softmax(p["phi_logits"], axis=-1)   # (D, T) replicated
         t_local = z.shape[0]
+
+        stats = _dp_local_stats_batched(
+            variance, ard, mu, s, z, y, config, policy
+        )
+        stats = _psum_stats(stats, DATA_AXIS)
+
+        def one_atom(p0_t, p1y_t, p2_t, v_t, a_t, z_t, n_t):
+            kuu = dispatch.gram(v_t, a_t, z_t, kernel=config.kernel)
+            st = SuffStats(psi0=p0_t, psi1T_y=p1y_t, psi2=p2_t,
+                           yty=stats.yty, n=stats.n)
+            return collapsed_bound(kuu, st, n_t, policy).per_dim
+
+        f_local = jax.vmap(one_atom)(
+            stats.psi0, stats.psi1T_y, stats.psi2, variance, ard, z, noise
+        )                                             # (Tl, D)
         t_index = jax.lax.axis_index(MODEL_AXIS) * t_local
-
-        def one_atom(z_t, rv_t, ra_t, rn_t):
-            variance, ard, noise = (
-                positive(rv_t), positive(ra_t), positive_noise(rn_t)
-            )
-            stats = _local_stats(
-                variance, ard, qx_mean, s, z_t, y, config.psi2_block
-            )
-            stats = _psum_stats(stats, DATA_AXIS)
-            kuu = ard_rbf.gram(variance, ard, z_t)
-            return collapsed_bound(kuu, stats, noise, policy).per_dim
-
-        f_local = jax.vmap(one_atom)(z, raw_var, raw_ard, raw_noise)  # (Tl,D)
         phi_local = jax.lax.dynamic_slice_in_dim(
             phi, t_index, t_local, axis=1
-        )                                                # (D, T_local)
-        fit = jax.lax.psum(
-            jnp.sum(phi_local * f_local.T), MODEL_AXIS
-        )
+        )                                             # (D, T_local)
+        fit = jax.lax.psum(jnp.sum(phi_local * f_local.T), MODEL_AXIS)
         kl_x = jax.lax.psum(
-            gaussian.kl_to_standard_normal(qx_mean, s), DATA_AXIS
+            gaussian.kl_to_standard_normal(mu, s), DATA_AXIS
+        )
+        alpha = (
+            positive(p["raw_alpha"], 1e-3)
+            if learn_alpha
+            else jnp.asarray(config.alpha, y.dtype)
         )
         dp_terms = stick_breaking.dp_kl_terms(
-            phi, positive(raw_g1, 1e-4), positive(raw_g2, 1e-4),
-            jnp.asarray(config.alpha, y.dtype),
+            phi, positive(p["raw_gamma1"], 1e-4),
+            positive(p["raw_gamma2"], 1e-4), alpha,
         )
-        return fit + dp_terms - kl_x
+        if learn_alpha:
+            dp_terms = dp_terms + stick_breaking.alpha_log_prior(alpha)
+        out = fit + dp_terms - kl_x
+        if config.hyperprior_std:
+            out = out + jax.lax.psum(
+                _log_normal_hyperprior(
+                    config.hyperprior_std, variance, ard, noise
+                ),
+                MODEL_AXIS,
+            )
+        return out
 
+    pspec = {
+        "qx_mean": P(DATA_AXIS), "raw_qx_var": P(DATA_AXIS),
+        "z": P(MODEL_AXIS), "raw_variance": P(MODEL_AXIS),
+        "raw_ard": P(MODEL_AXIS), "raw_noise": P(MODEL_AXIS),
+        "phi_logits": P(), "raw_gamma1": P(), "raw_gamma2": P(),
+    }
+    if learn_alpha:
+        pspec["raw_alpha"] = P()
     sharded = jax.shard_map(
         program,
         mesh=mesh,
-        in_specs=(
-            P(DATA_AXIS), P(DATA_AXIS),                    # q(X)
-            P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS),
-            P(), P(), P(),                                 # phi, gammas
-            P(DATA_AXIS),                                  # Y
-        ),
+        in_specs=(pspec, P(DATA_AXIS)),
         out_specs=P(),
         check_vma=False,
     )
-    return sharded(
-        params["qx_mean"], params["raw_qx_var"], params["z"],
-        params["raw_variance"], params["raw_ard"], params["raw_noise"],
-        params["phi_logits"], params["raw_gamma1"], params["raw_gamma2"], Y,
-    )
+    return sharded(params, Y)
 
 
 def dp_loss_sharded(params, Y, config, mesh):

@@ -94,6 +94,78 @@ def test_dp_sharded_gradients_match(toy):
         )
 
 
+def test_dp_sharded_fused_pallas_matches(toy):
+    """VERDICT r1 item 1: the fused Pallas suffstats kernel composed with
+    the shard_map program — values and gradients match the single-device
+    pure-JAX path on 2D meshes."""
+    Y = toy
+    cfg_ref = dp_gp_lvm.Config(num_latent=3, num_inducing=8, truncation=4)
+    cfg_pal = dp_gp_lvm.Config(
+        num_latent=3, num_inducing=8, truncation=4, use_pallas=True
+    )
+    params = dp_gp_lvm.init_params(jax.random.PRNGKey(2), Y, cfg_ref)
+    single = float(dp_gp_lvm.elbo(params, Y, cfg_ref))
+    from dp_gp_lvm_tpu.parallel.sharded_elbo import dp_loss_sharded
+
+    g_ref = jax.grad(lambda p: dp_gp_lvm.loss(p, Y, cfg_ref))(params)
+    for data, model in [(8, 1), (4, 2), (2, 4)]:
+        mesh = mesh_lib.make_mesh(data=data, model=model)
+        sharded = float(dp_elbo_sharded(params, Y, cfg_pal, mesh))
+        np.testing.assert_allclose(
+            sharded, single, rtol=1e-5, err_msg=f"{data}x{model}"
+        )
+        g_pal = jax.grad(lambda p: dp_loss_sharded(p, Y, cfg_pal, mesh))(
+            params
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pal)
+        ):
+            scale = np.maximum(np.max(np.abs(np.asarray(a))), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale,
+                rtol=2e-4, atol=2e-5, err_msg=f"{data}x{model}",
+            )
+
+
+def test_dp_sharded_includes_hyperprior_and_alpha_terms(toy):
+    """ADVICE r1: the sharded objective must equal the single-device one
+    when hyperprior_std > 0 and learn_alpha=True (it used to silently
+    drop both terms)."""
+    Y = toy
+    cfg = dp_gp_lvm.Config(
+        num_latent=3, num_inducing=8, truncation=4,
+        hyperprior_std=1.0, learn_alpha=True,
+    )
+    params = dp_gp_lvm.init_params(jax.random.PRNGKey(2), Y, cfg)
+    assert "raw_alpha" in params
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    single = float(dp_gp_lvm.elbo(params, Y, cfg))
+    sharded = float(dp_elbo_sharded(params, Y, cfg, mesh))
+    np.testing.assert_allclose(sharded, single, rtol=1e-9)
+    from dp_gp_lvm_tpu.parallel.sharded_elbo import dp_loss_sharded
+
+    g1 = jax.grad(lambda p: dp_gp_lvm.loss(p, Y, cfg))(params)
+    g2 = jax.grad(lambda p: dp_loss_sharded(p, Y, cfg, mesh))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        )
+
+
+def test_bgplvm_sharded_hyperprior_matches(toy):
+    Y = toy
+    cfg = bgplvm.Config(num_latent=3, num_inducing=8, hyperprior_std=0.7)
+    params = bgplvm.init_params(jax.random.PRNGKey(1), Y, cfg)
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    np.testing.assert_allclose(
+        float(bgplvm_elbo_sharded(params, Y, cfg, mesh)),
+        float(bgplvm.elbo(params, Y, cfg)),
+        rtol=1e-9,
+    )
+
+
 def test_gspmd_auto_sharding_matches(toy):
     """jit + NamedSharding (GSPMD) on the plain model code equals the
     single-device values and gradients."""
