@@ -134,6 +134,9 @@ def main():
     except Exception as e:
         print(f"# cpu baseline unavailable: {e}", file=sys.stderr)
         base_ms, vs = None, None
+    from dp_gp_lvm_tpu.perf import dp_step_costs, mfu
+
+    util = mfu(secs, dp_step_costs(N, D, Q, M, T))
     print(json.dumps({
         "metric": "dp_gp_lvm_elbo_step (N=1024,D=60,Q=10,M=64,T=20)",
         "value": round(ms, 3),
@@ -142,6 +145,10 @@ def main():
         "baseline": "same math, XLA-CPU f64 (reference-style CPU float64)",
         "baseline_ms": round(base_ms, 3) if base_ms else None,
         "device": device_kind,
+        "tflops_achieved": round(util["tflops_achieved"], 3),
+        "mfu_pct_vs_f32_peak": round(util["mfu_pct"], 2),
+        "roofline_pct": round(util["roofline_pct"], 1),
+        "binding_floor": util["binding_floor"],
     }))
 
 

@@ -87,10 +87,13 @@ def _block_bwd(variance, ard, mu, s, Z, w, log_e, G):
 
     W = (variance * variance) * E * mask * G[None, :, :]     # (B, M, M)
     A = jnp.sum(W, axis=(1, 2))                              # (B,)
-    Wsym_rows = jnp.sum(W, axis=2) + jnp.sum(W, axis=1)      # R (B, M)
-    WZ = jnp.einsum("bml,lq->bmq", W, Z, precision=HIGHEST)  # (B, M, Q)
-    WTZ = jnp.einsum("bml,mq->blq", W, Z, precision=HIGHEST)  # (B, M, Q)
-    U = jnp.einsum("bmq,mq->bq", WZ, Z, precision=HIGHEST)   # (B, Q)
+    # W only enters the Q-contractions through W + W^T (U contracts with
+    # the symmetric z_mq z_lq kernel; the c-pull needs WZ + WTZ), so
+    # symmetrize once: ONE (B,M,M)x(M,Q) einsum instead of two.
+    WS = W + jnp.swapaxes(W, 1, 2)                           # (B, M, M)
+    Wsym_rows = jnp.sum(WS, axis=2)                          # R (B, M)
+    WSZ = jnp.einsum("bml,lq->bmq", WS, Z, precision=HIGHEST)  # (B, M, Q)
+    U = 0.5 * jnp.einsum("bmq,mq->bq", WSZ, Z, precision=HIGHEST)  # (B, Q)
     RZ = jnp.dot(Wsym_rows, Z, precision=HIGHEST)            # (B, Q)
     RZ2 = jnp.dot(Wsym_rows, Z * Z, precision=HIGHEST)       # (B, Q)
     V = jnp.sum(W, axis=0)                                   # (M, M)
@@ -105,7 +108,7 @@ def _block_bwd(variance, ard, mu, s, Z, w, log_e, G):
     #   t:  sum_n b mu R_nm ; p: -1/2 z sum_n b R_nm ; c: -1/2 sum_n b (W+W^T)Z
     bz_t = jnp.einsum("bm,bq->mq", Wsym_rows, b * mu, precision=HIGHEST)
     bz_p = jnp.einsum("bm,bq->mq", Wsym_rows, b, precision=HIGHEST)
-    bz_c = jnp.einsum("bmq,bq->mq", WZ + WTZ, b, precision=HIGHEST)
+    bz_c = jnp.einsum("bmq,bq->mq", WSZ, b, precision=HIGHEST)
     gz_blk = bz_t - 0.5 * Z * bz_p - 0.5 * bz_c
     return gvar_blk, gard_blk, gmu, gs, gz_blk, V
 

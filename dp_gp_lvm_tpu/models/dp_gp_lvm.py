@@ -139,12 +139,13 @@ def per_dim_atom_bound(
         import jax as _jax
 
         from dp_gp_lvm_tpu.models.bound import SuffStats
-        from dp_gp_lvm_tpu.ops.pallas.psi import suffstats_batched_fused
+        from dp_gp_lvm_tpu.ops.pallas.psi import (
+            _fwd_block,
+            suffstats_batched_fused,
+        )
 
         interpret = _jax.default_backend() in ("cpu", "gpu")
-        # VMEM-safe default block: the bwd kernel holds several
-        # (B, M, M) tiles at once
-        blk = config.psi2_block or (32 if m_ >= 128 else 64)
+        blk = config.psi2_block or _fwd_block(m_, Y.shape[0])
         # one kernel produces Psi2 AND Psi1^T Y per atom — the (T, N, M)
         # Psi1 tensor never materializes in HBM
         p2_all, p1y_all = suffstats_batched_fused(

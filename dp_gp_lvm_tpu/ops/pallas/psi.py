@@ -416,17 +416,19 @@ def _psi2_bwd_batched_kernel(
             jnp.sum(e_raw * g[None, :, :], axis=2), axis=1
         )                                                # (B,)
         wmat = (var * var) * e * (expo < 0.0).astype(mu.dtype) * g[None]
+        # every W contraction below only ever uses W through W + W^T
+        # (u_quad contracts with the symmetric z_mq z_lq kernel; bz_c
+        # needs wz + wtz) — so symmetrize once and do ONE batched
+        # (B,M,M)x(M,Q) matmul instead of two (halves the dominant bwd
+        # MXU cost; measured in experiments/roofline.py).
+        ws = wmat + jnp.transpose(wmat, (0, 2, 1))       # (B, M, M)
         a_vec = jnp.sum(jnp.sum(wmat, axis=2), axis=1)   # (B,)
-        rsum = jnp.sum(wmat, axis=2) + jnp.sum(wmat, axis=1)  # (B, M)
-        wz = jax.lax.dot_general(
-            wmat, z, dimension_numbers=(((2,), (0,)), ((), ())),
+        rsum = jnp.sum(ws, axis=2)                       # (B, M)
+        wsz = jax.lax.dot_general(
+            ws, z, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=mu.dtype,
         )                                                # (B, M, Q)
-        wtz = jax.lax.dot_general(
-            wmat, z, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=mu.dtype,
-        )                                                # (B, M, Q)
-        u_quad = jnp.sum(wz * z[None, :, :], axis=1)     # (B, Q)
+        u_quad = 0.5 * jnp.sum(wsz * z[None, :, :], axis=1)  # (B, Q)
         rz = jnp.dot(rsum, z, preferred_element_type=mu.dtype)
         rz2 = jnp.dot(rsum, z * z, preferred_element_type=mu.dtype)
         v_blk = jnp.sum(wmat, axis=0)                    # (M, M)
@@ -446,7 +448,7 @@ def _psi2_bwd_batched_kernel(
             rsum, b, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=mu.dtype,
         )                                                # (M, Q)
-        bz_c = jnp.sum((wz + wtz) * b[:, None, :], axis=0)  # (M, Q)
+        bz_c = jnp.sum(wsz * b[:, None, :], axis=0)      # (M, Q)
         gz_blk = bz_t - 0.5 * z * bz_p - 0.5 * bz_c
 
         # (1, ...) shaped stores — Mosaic rejects scalar stores to VMEM
@@ -552,6 +554,22 @@ def psi2_bwd_batched_pallas(
     gard, gz = jax.vmap(finish)(ards, Zs, V, gard, gz)
     gvar_final = 2.0 * variances * jnp.sum(gvar, axis=1)
     return gvar_final, gard, gmu[:n], gs[:n], gz, gw[:n, 0]
+
+
+def _bwd_block(m: int, n: int) -> int:
+    """VMEM-safe backward block: the bwd kernel holds ~5 (B, M, M) f32
+    tiles at once (e, e_raw, wmat, ws + inputs), so B*M*M*4*5 must sit
+    well under ~16 MB. Swept on v5e (results/roofline.json): B=128 beats
+    64 at M<=64; M=128 forces B=32."""
+    cap = 32 if m >= 128 else 128
+    return min(cap, max(8, n))
+
+
+def _fwd_block(m: int, n: int) -> int:
+    """Forward (suffstats) block: ~3 (B, M, M) tiles live. Swept: 128 at
+    M<=64 (12.4 vs 13.8 ms at N=8192), 32 at M=128."""
+    cap = 32 if m >= 128 else 128
+    return min(cap, max(8, n))
 
 
 def _suffstats_batched_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref,
@@ -714,7 +732,7 @@ def _ssb_bwd(block_n, interpret, res, cts):
     G2, G1Y = cts
     gvar2, gard2, gmu2, gs2, gz2, gw2 = psi2_bwd_batched_pallas(
         variances, ards, mu, s, Zs, G2, weights=weights,
-        block_n=min(block_n, 32 if Zs.shape[1] >= 128 else 64),
+        block_n=_bwd_block(Zs.shape[1], mu.shape[0]),
         interpret=interpret,
     )
 
@@ -767,12 +785,10 @@ def _psi2b_fwd(variances, ards, mu, s, Zs, weights, block_n, interpret):
 
 def _psi2b_bwd(block_n, interpret, res, G):
     variances, ards, mu, s, Zs, weights = res
-    # fused Pallas backward; VMEM holds several (B, M, M) tiles at once,
-    # so cap the block by M (the forward can afford larger blocks)
-    cap = 32 if Zs.shape[1] >= 128 else 64
     gvar, gard, gmu, gs, gz, gw = psi2_bwd_batched_pallas(
         variances, ards, mu, s, Zs, G, weights=weights,
-        block_n=min(block_n, cap), interpret=interpret,
+        block_n=_bwd_block(Zs.shape[1], mu.shape[0]),
+        interpret=interpret,
     )
     return gvar, gard, gmu, gs, gz, (None if weights is None else gw)
 

@@ -138,7 +138,7 @@ def _dp_local_stats_batched(variance, ard, mu, s, Zs, y, config, policy):
     t_local, m = Zs.shape[0], Zs.shape[1]
     if _resolve_pallas(config.use_pallas, config.kernel, t_local,
                        mu.shape[0], m):
-        blk = config.psi2_block or (32 if m >= 128 else 64)
+        blk = config.psi2_block or psi_pallas._fwd_block(m, mu.shape[0])
         p2, p1y = psi_pallas.suffstats_batched_fused(
             variance, ard, mu, s, Zs, y, None, blk, _interpret()
         )

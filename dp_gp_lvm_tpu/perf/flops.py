@@ -1,0 +1,105 @@
+r"""Analytic cost model for the DP-GP-LVM training step + MFU accounting.
+
+The hot op is the per-atom Psi2 statistic (SURVEY.md call stack 3.2):
+every (n, m, l) cell costs one exp plus ~7 VPU ops, fed by three MXU
+contractions with tiny contraction depth K=Q. Counting rules (per atom,
+per step; N rows, M inducing, Q latents, D output dims):
+
+forward (fused suffstats kernel, ops/pallas/psi.py):
+    MXU:  c-contraction 2NM^2Q; t,p matmuls 4NMQ; psi1 stages 4NMQ;
+          psi1^T Y 2NMD
+    VPU:  ~7 NM^2   (expo assembly, weight, accumulate)
+    EXP:  NM^2 + NM
+backward (fused Psi2 pullback + analytic psi1 pullback):
+    MXU:  recompute 2NM^2Q + pullback contractions ~4NM^2Q + 2NMD + 4NMQ
+    VPU:  ~12 NM^2
+    EXP:  NM^2 + NM
+bound algebra (XLA): 2 cholesky (M^3/3 each), solves ~4M^2D, vmapped
+    over T — negligible next to the psi terms for N >> M.
+
+These are *algorithmic* FLOPs (the work the math requires), so
+achieved/peak is a true model-FLOPs-utilization: padding, small-K MXU
+inefficiency, and layout waste all show up as lost MFU rather than being
+excused. Peaks are TPU v5e (v5 lite) single-chip public numbers; the
+exp/s peak is measured empirically by experiments/roofline.py (the VPU
+transcendental rate is not a published spec) and the constant below is
+the measured value on this chip.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+# TPU v5e single-chip peaks. Spec numbers are public
+# (jax-ml.github.io/scaling-book); the *measured* entries are what THIS
+# chip sustains through the tunnel (experiments/roofline.py, median of
+# distinct-input dependency-chained runs — see that file's methodology
+# note about the relay's content cache).
+V5E_PEAKS = {
+    "bf16_flops": 47.7e12,    # measured dense bf16/default matmul
+    "f32_flops": 21.3e12,     # measured dense f32 (HIGHEST) matmul
+    "hbm_gbps": 284e9,        # measured bytes/s
+    "exp_per_s": 1.37e12,     # measured chained-exp rate
+}
+
+
+class StepCosts(NamedTuple):
+    mxu_flops: float          # matmul-shaped FLOPs
+    mxu_geom_flops: float     # same, scaled by 128/K for the systolic-
+    #                           array geometry of the small-K stages
+    vpu_flops: float          # elementwise FLOPs (excl. transcendentals)
+    transcendentals: float    # exp evaluations
+    hbm_bytes: float          # minimal HBM traffic (inputs/outputs once
+    #                           per pass; atoms re-stream q(X) from HBM)
+
+
+def dp_step_costs(n, d, q, m, t, dtype_bytes: int = 4,
+                  fused: bool = True) -> StepCosts:
+    """Cost of one DP-GP-LVM ELBO+gradient step (forward + backward)."""
+    nm2 = n * m * m
+    # forward + backward recompute + pullback contractions (see module doc)
+    mxu = t * (8.0 * nm2 * q + 12.0 * n * m * q + 4.0 * n * m * d)
+    vpu = t * 19.0 * nm2
+    exp = t * 2.0 * (nm2 + n * m)
+    # the dominant MXU stages contract over K = Q (the c-terms) or emit
+    # Q-wide outputs (the pullbacks): the 128-deep systolic array runs
+    # them at ~K/128 utilization no matter how they are scheduled — the
+    # geometric floor, not an implementation defect
+    mxu_geom = t * 8.0 * nm2 * q * (128.0 / min(q, 128))
+    # bound algebra (vmapped over atoms)
+    mxu += t * (2.0 * m ** 3 / 3.0 + 6.0 * m * m * d)
+    # HBM floor: read mu,s,w (fwd+bwd, re-streamed per atom in the fused
+    # grid), Y twice, write psi2/p1y stacks + grads
+    hbm = dtype_bytes * (
+        2.0 * t * n * (2 * q + 1)        # mu, s, w per atom, fwd+bwd
+        + 2.0 * n * d                    # Y
+        + 2.0 * t * (m * m + m * d)      # psi2, psi1^T Y out + cotangents in
+        + 2.0 * n * q                    # gmu, gs
+    )
+    return StepCosts(mxu_flops=mxu, mxu_geom_flops=mxu_geom,
+                     vpu_flops=vpu, transcendentals=exp, hbm_bytes=hbm)
+
+
+def mfu(step_seconds: float, costs: StepCosts,
+        peaks: dict = V5E_PEAKS) -> dict:
+    """Achieved rates and utilization fractions vs each hardware ceiling.
+
+    `mfu_pct` is total-FLOPs (mxu+vpu) vs the f32 MXU peak — the honest
+    headline for an f32 kernel; `roofline_pct` is time-to-floor vs the
+    binding analytic floor (max of MXU-, VPU(exp)-, HBM-floor), i.e. how
+    close the step is to speed-of-light for this algorithm on this chip.
+    """
+    total_flops = costs.mxu_flops + costs.vpu_flops
+    t_mxu = costs.mxu_geom_flops / peaks["bf16_flops"]
+    t_exp = costs.transcendentals / peaks["exp_per_s"]
+    t_hbm = costs.hbm_bytes / peaks["hbm_gbps"]
+    floor = max(t_mxu, t_exp, t_hbm)
+    return {
+        "tflops_achieved": total_flops / step_seconds / 1e12,
+        "exp_per_s_achieved": costs.transcendentals / step_seconds,
+        "mfu_pct": 100.0 * total_flops / step_seconds / peaks["f32_flops"],
+        "roofline_pct": 100.0 * floor / step_seconds,
+        "binding_floor": (
+            "mxu" if floor == t_mxu else "exp" if floor == t_exp else "hbm"
+        ),
+        "floor_ms": floor * 1e3,
+    }

@@ -1,0 +1,273 @@
+"""Roofline measurement: empirical chip ceilings + fused-kernel timing.
+
+Answers VERDICT r1 item 2 with numbers instead of estimates:
+  1. measures THIS chip's ceilings — exp/s (chained exp, compute-bound),
+     MXU TFLOP/s (default/bf16 and HIGHEST/f32-effective), HBM GB/s;
+  2. times the fused Pallas Psi2/suffstats kernels (fwd and fwd+bwd) and
+     the full DP step across scales;
+  3. reports achieved rates vs the analytic floors from perf/flops.py and
+     names the binding resource per row.
+
+Timing methodology: the TPU relay on this host serves repeated identical
+dispatches from cache, so naive repeat-call timing is fiction. Every
+measurement here is a lax.scan of ITERS steps inside ONE jit where each
+iteration consumes the previous one's output (a data dependency the
+compiler cannot elide), timed end-to-end and divided by ITERS.
+
+Writes results/roofline.json and prints a table.
+
+    python experiments/roofline.py [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ITERS = 16
+
+
+def timed_scan(body, init, iters=ITERS, warmup=True):
+    """Seconds per iteration of `carry -> carry` inside one jitted scan.
+
+    Two relay defenses: iterations carry a data dependency inside one
+    jit (queueing can't overlap them), and each TIMED dispatch gets input
+    values distinct from every other dispatch (the relay serves repeated
+    identical computations from cache — verified: identical repeat calls
+    'measured' 7000 TFLOP/s matmuls). Median of 3 distinct-input calls.
+    """
+    import jax
+
+    @jax.jit
+    def loop(c):
+        c, _ = jax.lax.scan(lambda c, _: (body(c), None), c, None,
+                            length=iters)
+        return c
+
+    def perturb(tree, eps):
+        return jax.tree_util.tree_map(
+            lambda x: x * (1.0 + eps)
+            if hasattr(x, "dtype") and jax.numpy.issubdtype(
+                x.dtype, jax.numpy.inexact
+            )
+            else x,
+            tree,
+        )
+
+    jax.block_until_ready(loop(init))       # compile + one run
+    times = []
+    for i in range(3):
+        ci = perturb(init, 1e-6 * (i + 1))
+        jax.block_until_ready(ci)
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(ci))
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[1] / iters
+
+
+def measure_ceilings():
+    """Every body is a NON-CONVERGING map (a k-dependent offset is fused
+    into the epilogue): iterated contractions (exp(-x), a@c with
+    ||a||<1) converge to fixed points, later iterations become
+    bit-identical, and the relay serves them from cache — 'measuring'
+    impossible rates (7000 TFLOP/s). Verified the hard way."""
+    import jax
+    import jax.numpy as jnp
+
+    def drift(body):
+        return lambda c, k: body(c) + 1e-3 * k
+
+    def timed_drift(body, init, iters=ITERS, work=1):
+        import time as _t
+
+        @jax.jit
+        def loop(c):
+            c, _ = jax.lax.scan(
+                lambda c, k: (drift(body)(c, k), None),
+                c, jnp.arange(iters, dtype=jnp.float32),
+            )
+            return c
+
+        jax.block_until_ready(loop(init))
+        ts = []
+        for i in range(3):
+            ci = init * (1.0 + 1e-6 * (i + 1))
+            jax.block_until_ready(ci)
+            t0 = _t.perf_counter()
+            jax.block_until_ready(loop(ci))
+            ts.append(_t.perf_counter() - t0)
+        return sorted(ts)[1] / iters
+
+    out = {}
+    # --- exp/s (8.4M exps per iteration, VMEM-resident tiles) ---
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4096, 2048),
+                           jnp.float32, 0.1, 0.9)
+    out["exp_per_s"] = x.size / timed_drift(lambda v: jnp.exp(-v), x)
+
+    # --- MXU TFLOP/s ---
+    a = jax.random.normal(jax.random.PRNGKey(0), (4096, 4096), jnp.float32)
+    a = a / 64.0
+    flops = 2 * 4096 ** 3
+    c0 = jnp.eye(4096, dtype=jnp.float32)
+    out["matmul_default_tflops"] = flops / timed_drift(
+        lambda c: a @ c, c0
+    ) / 1e12
+    out["matmul_highest_tflops"] = flops / timed_drift(
+        lambda c: jnp.dot(a, c, precision=jax.lax.Precision.HIGHEST), c0
+    ) / 1e12
+    ab = a.astype(jnp.bfloat16)
+    out["matmul_bf16_tflops"] = flops / timed_drift(
+        lambda c: jax.lax.dot_general(
+            ab, c.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ), c0
+    ) / 1e12
+
+    # --- small-K batched matmul (the Psi2 c-contraction shape) ---
+    bq, m, q = 4096, 64, 10
+    z = jax.random.normal(jax.random.PRNGKey(2), (m, q), jnp.float32) * 0.1
+
+    def smallk(zb):
+        c = jax.lax.dot_general(
+            zb, z, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.tanh(c[..., :q])
+
+    zb0 = jax.random.normal(jax.random.PRNGKey(1), (bq, m, q), jnp.float32)
+    out["smallk_batched_tflops"] = (
+        2 * bq * m * m * q / timed_drift(smallk, zb0) / 1e12
+    )
+
+    # --- HBM GB/s (read+write 1 GiB per iteration) ---
+    big = jnp.full((256, 1024, 1024), 0.5, jnp.float32)
+    dt = timed_drift(lambda v: v * 1.0000001, big, iters=8)
+    out["hbm_gbps"] = 2 * big.nbytes / dt / 1e9
+    return out
+
+
+def measure_kernels(scales, ceilings):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dp_gp_lvm_tpu.data import synthetic
+    from dp_gp_lvm_tpu.models import dp_gp_lvm
+    from dp_gp_lvm_tpu.ops.pallas import psi as psi_pallas
+    from dp_gp_lvm_tpu.perf import flops as fl
+
+    peaks = dict(fl.V5E_PEAKS)
+    peaks["exp_per_s"] = ceilings["exp_per_s"]
+    peaks["hbm_gbps"] = ceilings["hbm_gbps"] * 1e9
+    peaks["f32_flops"] = ceilings["matmul_highest_tflops"] * 1e12
+
+    rows = []
+    for (n, d, q, m, t) in scales:
+        r = jax.random.PRNGKey(0)
+        ks = jax.random.split(r, 5)
+        mu = jax.random.normal(ks[0], (n, q), jnp.float32)
+        s = jax.random.uniform(ks[1], (n, q), jnp.float32, 0.05, 0.8)
+        Zs = jax.random.normal(ks[2], (t, m, q), jnp.float32)
+        vs = jnp.abs(jax.random.normal(ks[3], (t,))) + 0.5
+        ards = jnp.abs(jax.random.normal(ks[4], (t, q))) + 0.3
+        Y = jax.random.normal(ks[0], (n, d), jnp.float32)
+        blk = psi_pallas._fwd_block(m, n)
+
+        def fwd_body(mu_):
+            p2, p1y = psi_pallas.suffstats_batched_fused(
+                vs, ards, mu_, s, Zs, Y, None, blk, False
+            )
+            return mu_ + 1e-12 * jnp.tanh(jnp.sum(p2) + jnp.sum(p1y))
+
+        t_fwd = timed_scan(fwd_body, mu, iters=8)
+
+        def loss(mu_):
+            p2, p1y = psi_pallas.suffstats_batched_fused(
+                vs, ards, mu_, s, Zs, Y, None, blk, False
+            )
+            return jnp.sum(p2) + jnp.sum(p1y)
+
+        def fb_body(mu_):
+            return mu_ + 1e-12 * jax.grad(loss)(mu_)
+
+        t_fb = timed_scan(fb_body, mu, iters=8)
+
+        # full training step (model ELBO+grad+adam), pallas and xla paths
+        Y2, _ = synthetic.mocap_like(r, n=n, d=d, dtype=jnp.float32)
+        step_ms = {}
+        for label, up in (("pallas", True), ("xla", False)):
+            # the XLA path must block its Psi2 scan above ~8k rows or the
+            # autodiff residuals exceed HBM (the fused path needs no block)
+            cfg = dp_gp_lvm.Config(
+                num_latent=q, num_inducing=m, truncation=t, use_pallas=up,
+                psi2_block=None if up else min(n, 2048),
+            )
+            params = dp_gp_lvm.init_params(r, Y2, cfg)
+            opt = optax.adam(1e-3)
+
+            def step_body(carry):
+                p, o = carry
+                l, g = jax.value_and_grad(dp_gp_lvm.loss)(p, Y2, cfg)
+                u, o = opt.update(g, o)
+                return optax.apply_updates(p, u), o
+
+            step_ms[label] = timed_scan(
+                step_body, (params, opt.init(params)), iters=8
+            ) * 1e3
+
+        costs = fl.dp_step_costs(n, d, q, m, t)
+        m_ = fl.mfu(step_ms["pallas"] / 1e3, costs, peaks)
+        kexp = t * 2.0 * (n * m * m + n * m)   # fwd+bwd suffstats exps
+        rows.append({
+            "n": n, "d": d, "q": q, "m": m, "t": t,
+            "suffstats_fwd_ms": round(t_fwd * 1e3, 3),
+            "suffstats_fwdbwd_ms": round(t_fb * 1e3, 3),
+            "step_ms_pallas": round(step_ms["pallas"], 3),
+            "step_ms_xla": round(step_ms["xla"], 3),
+            "kernel_exp_per_s": kexp / t_fb,
+            "kernel_vs_exp_roofline_pct": round(
+                100.0 * (kexp / ceilings["exp_per_s"]) / t_fb, 1
+            ),
+            **{k: (round(v, 3) if isinstance(v, float) else v)
+               for k, v in m_.items()},
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    ceil = measure_ceilings()
+    print(json.dumps({"ceilings": ceil}, indent=2), flush=True)
+    scales = [
+        (1024, 60, 10, 64, 20),    # bench row (mocap scale)
+        (8192, 60, 10, 64, 20),
+    ]
+    if not args.quick:
+        scales += [
+            (8192, 60, 10, 128, 20),
+            (32768, 60, 10, 64, 20),
+        ]
+    rows = measure_kernels(scales, ceil)
+    out = {"device": jax.devices()[0].device_kind, "ceilings": ceil,
+           "rows": rows}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "results", "roofline.json")
+    with open(os.path.abspath(path), "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(f"wrote {os.path.abspath(path)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,8 @@ SIZES = [
     (4096, 60, 10, 64, 20, None),      # 4x data
     (8192, 120, 10, 128, 20, None),    # 8x data, 2x dims, 2x inducing
     (16384, 120, 16, 128, 20, None),   # 16x data, wider latent
+    (32768, 60, 10, 64, 20, None),     # 32x data at reference dims
+    (32768, 120, 16, 128, 20, None),   # r1's largest row (2x dims/M, Q=16)
 ]
 
 
@@ -68,13 +70,26 @@ def measure(n, d, q, m, t, blk, steps=20):
 def main():
     device = jax.devices()[0].device_kind
     rows = []
+    from dp_gp_lvm_tpu.perf import dp_step_costs, mfu
+
     for n, d, q, m, t, blk in SIZES:
         try:
             ms, loss = measure(n, d, q, m, t, blk)
+            util = mfu(ms / 1e3, dp_step_costs(n, d, q, m, t))
             print(f"N={n:6d} D={d:4d} Q={q:3d} M={m:4d} T={t:3d} "
-                  f"blk={str(blk):>5s}: {ms:9.3f} ms/step", flush=True)
-            rows.append(dict(n=n, d=d, q=q, m=m, t=t, block=blk,
-                             ms_per_step=round(ms, 3)))
+                  f"blk={str(blk):>5s}: {ms:9.3f} ms/step  "
+                  f"{util['tflops_achieved']:6.2f} TF/s "
+                  f"(mfu {util['mfu_pct']:.1f}%, "
+                  f"{util['roofline_pct']:.0f}% of {util['binding_floor']} "
+                  f"floor)", flush=True)
+            rows.append(dict(
+                n=n, d=d, q=q, m=m, t=t, block=blk,
+                ms_per_step=round(ms, 3),
+                tflops_achieved=round(util["tflops_achieved"], 3),
+                mfu_pct=round(util["mfu_pct"], 2),
+                roofline_pct=round(util["roofline_pct"], 1),
+                binding_floor=util["binding_floor"],
+            ))
         except Exception as e:
             print(f"N={n} FAILED: {type(e).__name__}: {e}"[:200], flush=True)
             rows.append(dict(n=n, d=d, q=q, m=m, t=t, block=blk,
