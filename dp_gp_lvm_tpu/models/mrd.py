@@ -26,8 +26,7 @@ from dp_gp_lvm_tpu.core.transforms import (
 )
 from dp_gp_lvm_tpu.core.types import JitterPolicy
 from dp_gp_lvm_tpu.distributions import gaussian
-from dp_gp_lvm_tpu.kernels import ard_rbf
-from dp_gp_lvm_tpu.models.bound import collapsed_bound, suff_stats_from_psi
+from dp_gp_lvm_tpu.models.bound import collapsed_bound
 from dp_gp_lvm_tpu.ops import dispatch
 from dp_gp_lvm_tpu.train.init import inducing_from_latents, pca_latents
 
@@ -37,7 +36,10 @@ class Config(NamedTuple):
     num_inducing: int
     num_views: int
     psi2_block: int | None = None
-    use_pallas: bool = False
+    # True | False | "auto": same crossover rule as models/dp_gp_lvm.py —
+    # the fused Pallas suffstats kernel (Psi1 never in HBM) takes over per
+    # view above ~5e8 tile elements (ops/dispatch.resolve_pallas).
+    use_pallas: bool | str = "auto"
     kernel: str = "ard_rbf"
     fast_chol: bool = False    # skip the jitter search in the hot step
     hyperprior_std: float = 0.0    # log-normal prior on hypers (0 = off)
@@ -84,15 +86,14 @@ def elbo_terms(params, Ys, config: Config, policy: JitterPolicy = JitterPolicy()
     fit_per_view = []
     for vp, Y in zip(params["views"], Ys):
         hyp = constrain_view(vp)
-        p0, p1, p2 = dispatch.psi_stats(
-            hyp["variance"], hyp["ard"], mu, s, hyp["z"],
+        stats = dispatch.suff_stats(
+            hyp["variance"], hyp["ard"], mu, s, hyp["z"], Y,
             block_n=config.psi2_block, use_pallas=config.use_pallas,
             kernel=config.kernel,
         )
         kuu = dispatch.gram(
             hyp["variance"], hyp["ard"], hyp["z"], kernel=config.kernel
         )
-        stats = suff_stats_from_psi(p0, p1, p2, Y)
         terms = collapsed_bound(kuu, stats, hyp["noise"], policy)
         fit_per_view.append(jnp.sum(terms.per_dim))
     fit = sum(fit_per_view)

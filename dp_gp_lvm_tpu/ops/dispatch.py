@@ -10,6 +10,7 @@ Two axes of choice, both driven by model configs:
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from dp_gp_lvm_tpu.kernels import ard_rbf, linear
 from dp_gp_lvm_tpu.kernels.ard_rbf_vjp import psi1_weighted, psi2_analytic
@@ -79,3 +80,55 @@ def psi0(variance, ard, mu, s, weights=None, kernel: str = "ard_rbf"):
     if kernel == "linear":
         return linear.psi0(variance, ard, mu, s, weights)
     return ard_rbf.psi0(variance, mu, weights)
+
+
+def resolve_pallas(use_pallas, kernel: str, t: int, n: int, m: int) -> bool:
+    """Static fused-kernel decision from the tile volume t*n*m^2.
+
+    The ~5e8-element crossover is measured (SCALING.md): XLA's single-shot
+    psi path wins below it; the fused Pallas kernels win ~3x above. The
+    same rule serves single-device ("auto" in model configs) and the
+    shard_map path (which passes PER-DEVICE shapes — the crossover is
+    about local work).
+    """
+    if kernel != "ard_rbf":
+        return False
+    if use_pallas == "auto":
+        return t * n * m * m > int(5e8)
+    return bool(use_pallas)
+
+
+def suff_stats(
+    variance, ard, mu, s, Z, Y, weights=None, block_n=None,
+    use_pallas="auto", kernel: str = "ard_rbf",
+):
+    """SuffStats of the collapsed bound for ONE kernel (a BGPLVM model or
+    a single MRD view), with the same auto fused-kernel dispatch as the
+    DP atom path. On the fused path Psi2 and Psi1^T Y come from one
+    pallas_call (grid (1, N/B)) and Psi1 never materializes in HBM."""
+    from dp_gp_lvm_tpu.models.bound import SuffStats, suff_stats_from_psi
+
+    n, m = mu.shape[0], Z.shape[0]
+    if resolve_pallas(use_pallas, kernel, 1, n, m):
+        blk = block_n or psi_pallas._fwd_block(m, n)
+        p2, p1y = psi_pallas.suffstats_batched_fused(
+            variance[None], ard[None], mu, s, Z[None], Y, weights,
+            blk, not _on_tpu(),
+        )
+        Yw = Y if weights is None else Y * weights[:, None]
+        n_eff = (
+            jnp.asarray(n, Y.dtype) if weights is None
+            else jnp.sum(weights)
+        )
+        return SuffStats(
+            psi0=ard_rbf.psi0(variance, mu, weights),
+            psi1T_y=p1y[0],
+            psi2=p2[0],
+            yty=jnp.sum(Y * Yw, axis=0),
+            n=n_eff,
+        )
+    p0, p1, p2 = psi_stats(
+        variance, ard, mu, s, Z, weights=weights, block_n=block_n,
+        use_pallas=False, kernel=kernel,
+    )
+    return suff_stats_from_psi(p0, p1, p2, Y, weights)

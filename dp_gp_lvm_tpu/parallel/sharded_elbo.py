@@ -55,33 +55,21 @@ def _interpret() -> bool:
     return jax.default_backend() in ("cpu", "gpu")
 
 
-def _resolve_pallas(use_pallas, kernel: str, t: int, n_local: int, m: int):
-    """Static fused-kernel decision from PER-DEVICE shapes (the crossover
-    is about local work; same ~5e8 tile-element rule as dp_gp_lvm)."""
-    if kernel != "ard_rbf":
-        return False
-    if use_pallas == "auto":
-        return t * n_local * m * m > int(5e8)
-    return bool(use_pallas)
+_resolve_pallas = dispatch.resolve_pallas
 
 
 def _local_stats(variance, ard, mu, s, z, Y, config):
     """Per-shard partial sufficient statistics (no psum yet), dispatching
-    through ops.dispatch so use_pallas composes with the mesh program."""
-    p0, p1, p2 = dispatch.psi_stats(
-        variance, ard, mu, s, z,
+    through ops.dispatch so use_pallas composes with the mesh program
+    (fused suffstats kernel per shard when the PER-DEVICE tile volume
+    crosses the rule — the crossover is about local work)."""
+    return dispatch.suff_stats(
+        variance, ard, mu, s, z, Y,
         block_n=config.psi2_block,
         use_pallas=_resolve_pallas(
             config.use_pallas, config.kernel, 1, mu.shape[0], z.shape[0]
         ),
         kernel=config.kernel,
-    )
-    return SuffStats(
-        psi0=p0,
-        psi1T_y=jnp.dot(p1.T, Y, precision=_HIGHEST),
-        psi2=p2,
-        yty=jnp.sum(Y * Y, axis=0),
-        n=jnp.asarray(Y.shape[0], Y.dtype),
     )
 
 
@@ -247,3 +235,69 @@ def dp_elbo_sharded(
 
 def dp_loss_sharded(params, Y, config, mesh):
     return -dp_elbo_sharded(params, Y, config, mesh)
+
+
+def mrd_elbo_sharded(
+    params, Ys, config, mesh: Mesh, policy: JitterPolicy = JitterPolicy()
+):
+    """Data-parallel MRD ELBO: rows of every view and q(X) shard over
+    "data"; per-view kernel/inducing params replicate. Views have
+    heterogeneous output widths (a pytree list), so the view loop stays a
+    static Python loop inside the mesh program — each view contributes one
+    psummed SuffStats, exactly like the single-device
+    models/mrd.elbo_terms, hyperprior included."""
+    from dp_gp_lvm_tpu.models import mrd as mrd_mod
+
+    def program(p, *ys):
+        mu = p["qx_mean"]
+        s = positive_variational_var(p["raw_qx_var"])
+        fit = 0.0
+        hp = 0.0
+        for vp, y in zip(p["views"], ys):
+            hyp = mrd_mod.constrain_view(vp)
+            stats = dispatch.suff_stats(
+                hyp["variance"], hyp["ard"], mu, s, hyp["z"], y,
+                block_n=config.psi2_block,
+                use_pallas=_resolve_pallas(
+                    config.use_pallas, config.kernel, 1, mu.shape[0],
+                    hyp["z"].shape[0],
+                ),
+                kernel=config.kernel,
+            )
+            stats = _psum_stats(stats, DATA_AXIS)
+            kuu = dispatch.gram(
+                hyp["variance"], hyp["ard"], hyp["z"], kernel=config.kernel
+            )
+            fit = fit + jnp.sum(
+                collapsed_bound(kuu, stats, hyp["noise"], policy).per_dim
+            )
+            if getattr(config, "hyperprior_std", 0.0):
+                hp = hp + _log_normal_hyperprior(
+                    config.hyperprior_std, hyp["variance"], hyp["ard"],
+                    hyp["noise"],
+                )
+        kl = jax.lax.psum(
+            gaussian.kl_to_standard_normal(mu, s), DATA_AXIS
+        )
+        return fit - kl + hp
+
+    view_spec = {
+        "z": P(), "raw_variance": P(), "raw_ard": P(), "raw_noise": P(),
+    }
+    pspec = {
+        "qx_mean": P(DATA_AXIS),
+        "raw_qx_var": P(DATA_AXIS),
+        "views": [dict(view_spec) for _ in params["views"]],
+    }
+    sharded = jax.shard_map(
+        program,
+        mesh=mesh,
+        in_specs=(pspec, *[P(DATA_AXIS) for _ in Ys]),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded(params, *Ys)
+
+
+def mrd_loss_sharded(params, Ys, config, mesh):
+    return -mrd_elbo_sharded(params, Ys, config, mesh)

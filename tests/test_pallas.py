@@ -139,6 +139,35 @@ def test_dp_elbo_pallas_path_matches():
     np.testing.assert_allclose(e_pal, e_ref, rtol=1e-4)
 
 
+def test_mrd_elbo_pallas_path_matches():
+    """MRD views through the fused suffstats kernel (dispatch.suff_stats,
+    use_pallas=True) equal the pure-JAX path — values and gradients
+    (VERDICT r1 item 6: MRD gets the same auto dispatch as the DP path)."""
+    from dp_gp_lvm_tpu.data import synthetic
+    from dp_gp_lvm_tpu.models import mrd
+
+    Y1, Y2, _ = synthetic.two_view(
+        jax.random.PRNGKey(6), n=30, d1=4, d2=6, dtype=jnp.float32
+    )
+    Ys = [Y1, Y2]
+    c_ref = mrd.Config(num_latent=3, num_inducing=8, num_views=2)
+    c_pal = c_ref._replace(use_pallas=True)
+    params = mrd.init_params(jax.random.PRNGKey(7), Ys, c_ref)
+    e_ref = float(mrd.elbo(params, Ys, c_ref))
+    e_pal = float(mrd.elbo(params, Ys, c_pal))
+    np.testing.assert_allclose(e_pal, e_ref, rtol=1e-4)
+    g_ref = jax.grad(lambda p: mrd.loss(p, Ys, c_ref))(params)
+    g_pal = jax.grad(lambda p: mrd.loss(p, Ys, c_pal))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pal)
+    ):
+        scale = np.maximum(np.max(np.abs(np.asarray(a))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale,
+            rtol=2e-4, atol=2e-4,
+        )
+
+
 def test_psi2_batched_kernel_matches(setup):
     """Atom-batched fused forward + fused backward vs references."""
     from dp_gp_lvm_tpu.ops.pallas.psi import (

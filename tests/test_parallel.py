@@ -194,6 +194,85 @@ def test_gspmd_auto_sharding_matches(toy):
         )
 
 
+@pytest.fixture(scope="module")
+def two_view():
+    Y1, Y2, _ = synthetic.two_view(jax.random.PRNGKey(3), n=48, d1=5, d2=7)
+    return Y1, Y2
+
+
+def test_mrd_sharded_matches_single_device(two_view):
+    """VERDICT r1 item 6: MRD gets the same exact shard_map treatment as
+    the DP path — values and gradients match single-device."""
+    from dp_gp_lvm_tpu.models import mrd
+    from dp_gp_lvm_tpu.parallel.sharded_elbo import (
+        mrd_elbo_sharded,
+        mrd_loss_sharded,
+    )
+
+    Ys = list(two_view)
+    cfg = mrd.Config(num_latent=3, num_inducing=8, num_views=2)
+    params = mrd.init_params(jax.random.PRNGKey(4), Ys, cfg)
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    single = float(mrd.elbo(params, Ys, cfg))
+    sharded = float(mrd_elbo_sharded(params, Ys, cfg, mesh))
+    np.testing.assert_allclose(sharded, single, rtol=1e-9)
+    g1 = jax.grad(lambda p: mrd.loss(p, Ys, cfg))(params)
+    g2 = jax.grad(lambda p: mrd_loss_sharded(p, Ys, cfg, mesh))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-9
+        )
+
+
+def test_mrd_sharded_hyperprior_and_jit(two_view):
+    from dp_gp_lvm_tpu.models import mrd
+    from dp_gp_lvm_tpu.parallel.sharded_elbo import mrd_elbo_sharded
+
+    Ys = list(two_view)
+    cfg = mrd.Config(
+        num_latent=3, num_inducing=8, num_views=2, hyperprior_std=0.7
+    )
+    params = mrd.init_params(jax.random.PRNGKey(4), Ys, cfg)
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    f = jax.jit(lambda p, y1, y2: mrd_elbo_sharded(p, [y1, y2], cfg, mesh))
+    np.testing.assert_allclose(
+        float(f(params, *Ys)), float(mrd.elbo(params, Ys, cfg)), rtol=1e-9
+    )
+
+
+def test_mrd_sharded_fused_pallas_matches(two_view):
+    """Forced fused suffstats kernel (interpret mode on CPU) inside the
+    MRD mesh program equals the pure-JAX single-device path."""
+    from dp_gp_lvm_tpu.models import mrd
+    from dp_gp_lvm_tpu.parallel.sharded_elbo import (
+        mrd_elbo_sharded,
+        mrd_loss_sharded,
+    )
+
+    Ys = list(two_view)
+    cfg_ref = mrd.Config(num_latent=3, num_inducing=8, num_views=2)
+    cfg_pal = cfg_ref._replace(use_pallas=True)
+    params = mrd.init_params(jax.random.PRNGKey(4), Ys, cfg_ref)
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    single = float(mrd.elbo(params, Ys, cfg_ref))
+    sharded = float(mrd_elbo_sharded(params, Ys, cfg_pal, mesh))
+    np.testing.assert_allclose(sharded, single, rtol=1e-5)
+    g_ref = jax.grad(lambda p: mrd.loss(p, Ys, cfg_ref))(params)
+    g_pal = jax.grad(lambda p: mrd_loss_sharded(p, Ys, cfg_pal, mesh))(
+        params
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pal)
+    ):
+        scale = np.maximum(np.max(np.abs(np.asarray(a))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale,
+            rtol=2e-4, atol=2e-5,
+        )
+
+
 def test_gspmd_dp_atom_sharding(toy):
     from dp_gp_lvm_tpu.parallel import auto
 
