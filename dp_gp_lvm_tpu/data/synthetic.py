@@ -118,3 +118,74 @@ def mocap_like(rng, n=1024, d=59, q_true=4, noise=0.02, dtype=jnp.float64):
     Y = X @ W + noise * jax.random.normal(rng, (n, d), dtype)
     Y = (Y - Y.mean(axis=0)) / Y.std(axis=0)
     return Y, X
+
+
+# 2D articulated figure for pose_like: (parent, length, base_angle,
+# gait_group) per joint; joint 0 is the root (pelvis). Groups: 0 spine/head,
+# 1 left leg, 2 right leg, 3 left arm, 4 right arm — limbs move with
+# different gait signals, giving the grouped dependency structure the DP
+# model should recover.
+_POSE_SKELETON = (
+    (-1, 0.0, 0.0, 0),    # 0 pelvis (root)
+    (0, 0.5, 1.571, 0),   # 1 lower spine
+    (1, 0.5, 1.571, 0),   # 2 upper spine
+    (2, 0.3, 1.571, 0),   # 3 head
+    (0, 0.5, -1.271, 1),  # 4 left hip
+    (4, 0.5, -1.571, 1),  # 5 left knee
+    (5, 0.25, -1.871, 1),  # 6 left foot
+    (0, 0.5, -1.871, 2),  # 7 right hip
+    (7, 0.5, -1.571, 2),  # 8 right knee
+    (8, 0.25, -1.271, 2),  # 9 right foot
+    (2, 0.45, -0.771, 3),  # 10 left shoulder
+    (10, 0.45, -1.271, 3),  # 11 left elbow
+    (11, 0.2, -1.571, 3),   # 12 left hand
+    (2, 0.45, -2.371, 4),   # 13 right shoulder
+    (13, 0.45, -1.871, 4),  # 14 right elbow
+    (14, 0.2, -1.571, 4),   # 15 right hand
+)
+
+
+def pose_like(rng, n=512, q_true=3, noise=0.01, dtype=jnp.float64):
+    """Pose-shaped surrogate (BASELINE configs[4] 'mocap + pose'): 2D
+    keypoint trajectories of a 16-joint articulated figure walking.
+
+    A few smooth gait signals drive joint ANGLES per limb group through a
+    2D forward-kinematic chain, so the observed dims (x, y per joint) are
+    nonlinear in the latents and come in limb groups with shared
+    dependency structure — the DP-GP-LVM grouping + imputation target.
+    Returns (Y (n, 32), X_true (n, q_true), joint_groups (16,)).
+    """
+    r1, r2, r3 = jax.random.split(rng, 3)
+    t = jnp.linspace(0.0, 6.0 * jnp.pi, n, dtype=dtype)[:, None]
+    freqs = 0.7 + jnp.arange(q_true, dtype=dtype)[None, :] * 0.4
+    phases = jax.random.uniform(r1, (1, q_true), dtype, 0.0, 2 * jnp.pi)
+    gait = jnp.sin(t * freqs + phases)                      # (n, q_true)
+    # each gait group mixes the latent signals with its own weights;
+    # opposite limbs get opposite sign (walking anti-phase)
+    num_groups = 5
+    mix = 0.5 * jax.random.normal(r2, (num_groups, q_true), dtype)
+    mix = mix.at[2].set(-mix[1]).at[4].set(-mix[3])
+    group_angle = gait @ mix.T                              # (n, groups)
+
+    positions = {}
+    cum_angles = {}
+    for j, (parent, length, base, group) in enumerate(_POSE_SKELETON):
+        swing = 0.0 if parent < 0 else group_angle[:, group]
+        if parent < 0:
+            cum_angles[j] = jnp.zeros((n,), dtype)
+            positions[j] = jnp.zeros((n, 2), dtype)
+        else:
+            ang = cum_angles[parent] * 0.3 + base + swing
+            cum_angles[j] = ang
+            step = length * jnp.stack(
+                [jnp.cos(ang), jnp.sin(ang)], axis=-1
+            )
+            positions[j] = positions[parent] + step
+    Y = jnp.concatenate(
+        [positions[j] for j in range(len(_POSE_SKELETON))], axis=1
+    )
+    Y = Y + noise * jax.random.normal(r3, Y.shape, dtype)
+    sd = Y.std(axis=0)
+    Y = (Y - Y.mean(axis=0)) / jnp.maximum(sd, 1e-3)
+    groups = jnp.asarray([g for (_, _, _, g) in _POSE_SKELETON])
+    return Y, gait, groups

@@ -33,6 +33,10 @@ def main():
                     help="save latent/ARD/assignment plots to the out dir")
     ap.add_argument("--debug-nans", action="store_true",
                     help="enable jax_debug_nans (eager NaN localization)")
+    ap.add_argument("--check", action="store_true",
+                    help="assert the committed regression gates "
+                         "(core/config.CHECKS) on the finished run; "
+                         "exit 1 on any failure")
     args = ap.parse_args()
 
     import jax
@@ -81,7 +85,19 @@ def main():
     elif cfg.dataset == "two_view":
         Y1, Y2, _ = synthetic.two_view(rng, n=cfg.n, d1=cfg.views[0],
                                        d2=cfg.views[1], dtype=dtype)
+        # strided row holdout for the cross-view prediction metric (the
+        # MRD quality gate): every 8th row is test, like config 5.
+        import numpy as _np
+
+        keep = _np.ones(Y1.shape[0], bool)
+        keep[7::8] = False
+        Y1_test, Y2_test = Y1[~keep], Y2[~keep]
+        Y1, Y2 = Y1[keep], Y2[keep]
         data = (Y1, Y2)
+    elif cfg.dataset == "pose":
+        Y, _, _ = synthetic.pose_like(rng, n=cfg.n, dtype=dtype)
+        tag = "synthetic:pose_like"
+        data = (Y,)
     elif cfg.dataset == "mocap":
         amc = None
         if args.data_dir:
@@ -173,21 +189,73 @@ def main():
               "seconds": round(total, 2),
               "ms_per_step": round(per_step * 1e3, 3), **terms}
 
+    if cfg.model == "bgplvm" and cfg.dataset == "toy_gplvm":
+        # ARD-pruning gate (SURVEY.md section 7 minimum slice): the toy
+        # generator drives Y with the FIRST 2 latent dims only; the
+        # learned ARD weights must pick exactly those out of cfg.q.
+        ard = jnp.asarray(bgplvm.constrain(state.params)["ard"])
+        order = jnp.argsort(-ard)
+        top2 = set(int(i) for i in order[:2])
+        active = ard[jnp.array([0, 1])]
+        inactive = ard[jnp.arange(2, ard.shape[0])]
+        result["ard_weights"] = [round(float(a), 6) for a in ard]
+        result["ard_recall_top2"] = len(top2 & {0, 1}) / 2.0
+        result["ard_separation_ratio"] = float(
+            jnp.min(active) / jnp.maximum(jnp.max(inactive), 1e-12)
+        )
+        print(f"[{cfg.name}] ard={result['ard_weights']} "
+              f"recall={result['ard_recall_top2']} "
+              f"sep={result['ard_separation_ratio']:.1f}", flush=True)
+
+    if cfg.model == "mrd":
+        # cross-view prediction on the held-out rows: observe view 0,
+        # predict view 1; mean-baseline = predicting the train mean (the
+        # views are standardized on the full series, so this is ~unit MSE).
+        t_pred = time.time()
+        mean, var, *_ = prediction.predict_view_from_views(
+            state.params, list(data), mcfg,
+            observed={0: Y1_test}, target_view=1, num_steps=200,
+        )
+        pred_s = time.time() - t_pred
+        ones = jnp.ones_like(Y2_test)
+        mse = float(jnp.mean((mean - Y2_test) ** 2))
+        base = float(jnp.mean((data[1].mean(axis=0) - Y2_test) ** 2))
+        pll = float(prediction.gaussian_predictive_loglik(
+            Y2_test, mean, var, ones) / ones.size)
+        rel = mrd.ard_relevance(state.params)
+        result["cross_view_mse"] = mse
+        result["cross_view_mse_baseline"] = base
+        result["cross_view_mse_ratio"] = mse / base
+        result["cross_view_pll_per_dim"] = pll
+        result["cross_view_seconds"] = round(pred_s, 3)
+        # shared/private signature: per-view ARD weights (V, Q)
+        result["ard_relevance"] = [
+            [round(float(a), 6) for a in row] for row in rel
+        ]
+        print(f"[{cfg.name}] cross-view mse={mse:.4f} "
+              f"(baseline {base:.4f}, ratio {mse/base:.3f}) pll={pll:.4f}",
+              flush=True)
+
     if cfg.model == "dp_gp_lvm" and cfg.missing_fraction > 0:
         d = Y_test.shape[1]
         n_miss = int(d * cfg.missing_fraction)
         mask = jnp.ones((Y_test.shape[0], d), dtype).at[:, -n_miss:].set(0.0)
+        t_imp = time.time()
         mean, var, *_ = prediction.impute_dp(
             state.params, Y_train, mcfg, Y_test, mask, num_steps=200
         )
+        jax.block_until_ready(mean)
+        imp_s = time.time() - t_imp
         miss = 1.0 - mask
         mse = float(jnp.sum(((mean - Y_test) ** 2) * miss) / jnp.sum(miss))
         pll = float(prediction.gaussian_predictive_loglik(
             Y_test, mean, var, miss) / jnp.sum(miss))
         result["imputation_mse"] = mse
         result["predictive_loglik_per_dim"] = pll
-        print(f"[{cfg.name}] imputation mse={mse:.4f} pll={pll:.4f}",
-              flush=True)
+        result["imputation_seconds"] = round(imp_s, 3)
+        result["imputation_rows"] = int(Y_test.shape[0])
+        print(f"[{cfg.name}] imputation mse={mse:.4f} pll={pll:.4f} "
+              f"({imp_s:.2f}s for {Y_test.shape[0]} rows)", flush=True)
 
     from dp_gp_lvm_tpu.train.checkpoint import export_npz
 
@@ -235,6 +303,17 @@ def main():
     print(json.dumps(result))
     if ck:
         ck.close()
+
+    if args.check:
+        failures = config_lib.evaluate_checks(cfg.name, result)
+        gates = config_lib.CHECKS.get(cfg.name, {})
+        if failures:
+            print(f"[{cfg.name}] REGRESSION GATES FAILED:", flush=True)
+            for f in failures:
+                print(f"  FAIL {f}", flush=True)
+            sys.exit(1)
+        print(f"[{cfg.name}] all {len(gates)} regression gates pass",
+              flush=True)
 
 
 if __name__ == "__main__":
