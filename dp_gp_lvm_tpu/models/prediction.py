@@ -159,6 +159,76 @@ def init_latent_from_nearest(qx_mean, Y, y_star, mask):
     return qx_mean[idx]
 
 
+def _fit_variational(
+    objective, var_params, num_steps, lr, tol=None, patience: int = 5
+):
+    """Adam on a test-time variational objective inside one jitted scan.
+
+    tol=None: exactly num_steps steps (the benchmark-stable unroll).
+    tol=r: early stopping once the relative objective change stays <= r
+    for `patience` CONSECUTIVE steps — Adam's objective change passes
+    through ~zero transiently when an oscillation crosses the minimum,
+    so a single-step criterion freezes far from convergence. Shapes stay
+    static for jit — each step is a lax.cond on a converged flag, so the
+    post-convergence iterations are no-op passthroughs (a skipped branch
+    costs ~nothing at runtime); serving latency then tracks the ACTUAL
+    convergence point, not the worst-case unroll (SURVEY.md section 3.3,
+    which anticipated a while_loop-with-tolerance option).
+
+    Returns (fitted_params, objective_trace, steps_taken).
+    """
+    opt = optax.adam(lr)
+    vg = jax.value_and_grad(objective)
+
+    if tol is None:
+
+        def step(carry, _):
+            vp, opt_state = carry
+            val, g = vg(vp)
+            updates, opt_state = opt.update(g, opt_state)
+            vp = optax.apply_updates(vp, updates)
+            return (vp, opt_state), val
+
+        (vp, _), trace = jax.lax.scan(
+            step, (var_params, opt.init(var_params)), None, length=num_steps
+        )
+        return vp, trace, jnp.asarray(num_steps)
+
+    def step(carry, _):
+        vp, opt_state, prev, streak, done, k = carry
+
+        def active(operand):
+            vp, opt_state, prev, streak, done, k = operand
+            val, g = vg(vp)
+            updates, new_os = opt.update(g, opt_state)
+            new_vp = optax.apply_updates(vp, updates)
+            small = jnp.abs(prev - val) <= tol * (jnp.abs(prev) + 1.0)
+            new_streak = jnp.where(small, streak + 1, 0)
+            conv = new_streak >= patience
+            return (new_vp, new_os, val, new_streak, conv, k + 1), val
+
+        def frozen(operand):
+            vp, opt_state, prev, streak, done, k = operand
+            return (vp, opt_state, prev, streak, done, k), prev
+
+        new_carry, val = jax.lax.cond(done, frozen, active, carry)
+        return new_carry, val
+
+    dtype = jax.tree_util.tree_leaves(var_params)[0].dtype
+    init = (
+        var_params,
+        opt.init(var_params),
+        jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+    (vp, _, _, _, _, k), trace = jax.lax.scan(
+        step, init, None, length=num_steps
+    )
+    return vp, trace, k
+
+
 def infer_latent(
     cache: PosteriorCache,
     y_star,
@@ -167,14 +237,17 @@ def infer_latent(
     num_steps: int = 200,
     lr: float = 0.05,
     kernel: str = "ard_rbf",
+    tol: float | None = None,
 ):
-    """Optimize q(x*) = N(m*, diag(s*)) by Adam inside one jitted scan."""
+    """Optimize q(x*) = N(m*, diag(s*)) by Adam inside one jitted scan.
+
+    tol enables early stopping on relative objective change (serving
+    mode); num_steps stays the hard cap either way."""
     dtype = y_star.dtype
     var_params = {
         "m": m_init.astype(dtype),
         "raw_s": positive_inverse(0.1 * jnp.ones_like(m_init)).astype(dtype),
     }
-    opt = optax.adam(lr)
 
     def objective(vp):
         s = positive(vp["raw_s"])
@@ -182,16 +255,7 @@ def infer_latent(
         kl = gaussian.kl_to_standard_normal(vp["m"], s)
         return -(ell - kl)
 
-    def step(carry, _):
-        vp, opt_state = carry
-        val, g = jax.value_and_grad(objective)(vp)
-        updates, opt_state = opt.update(g, opt_state)
-        vp = optax.apply_updates(vp, updates)
-        return (vp, opt_state), val
-
-    (vp, _), trace = jax.lax.scan(
-        step, (var_params, opt.init(var_params)), None, length=num_steps
-    )
+    vp, trace, _ = _fit_variational(objective, var_params, num_steps, lr, tol)
     return vp["m"], positive(vp["raw_s"]), -trace
 
 
@@ -203,6 +267,7 @@ def impute_bgplvm(
     mask,
     num_steps: int = 200,
     lr: float = 0.05,
+    tol: float | None = None,
 ):
     """Full config-5 pipeline for Bayesian GP-LVM: infer q(x*), predict all
     dims; returns (mean, var, m*, s*, objective trace). Metrics on the
@@ -210,7 +275,8 @@ def impute_bgplvm(
     cache = bgplvm_posterior(params, Y, config)
     m0 = init_latent_from_nearest(params["qx_mean"], Y, y_star, mask)
     m_s, s_s, trace = infer_latent(
-        cache, y_star, mask, m0, num_steps, lr, kernel=config.kernel
+        cache, y_star, mask, m0, num_steps, lr, kernel=config.kernel,
+        tol=tol,
     )
     mean, var = predict_from_latent(cache, m_s, s_s, kernel=config.kernel)
     return mean, var, m_s, s_s, trace
@@ -266,13 +332,13 @@ def dp_infer_latent(
     num_steps: int = 200,
     lr: float = 0.05,
     kernel: str = "ard_rbf",
+    tol: float | None = None,
 ):
     """q(x*) inference under the DP mixture: phi-weighted expected log-lik."""
     var_params = {
         "m": m_init,
         "raw_s": positive_inverse(0.1 * jnp.ones_like(m_init)),
     }
-    opt = optax.adam(lr)
 
     def objective(vp):
         s = positive(vp["raw_s"])
@@ -302,16 +368,7 @@ def dp_infer_latent(
         kl = gaussian.kl_to_standard_normal(vp["m"], s)
         return -(ell - kl)
 
-    def step(carry, _):
-        vp, opt_state = carry
-        val, g = jax.value_and_grad(objective)(vp)
-        updates, opt_state = opt.update(g, opt_state)
-        vp = optax.apply_updates(vp, updates)
-        return (vp, opt_state), val
-
-    (vp, _), trace = jax.lax.scan(
-        step, (var_params, opt.init(var_params)), None, length=num_steps
-    )
+    vp, trace, _ = _fit_variational(objective, var_params, num_steps, lr, tol)
     return vp["m"], positive(vp["raw_s"]), -trace
 
 
@@ -323,12 +380,14 @@ def impute_dp(
     mask,
     num_steps: int = 200,
     lr: float = 0.05,
+    tol: float | None = None,
 ):
     """Config-5 pipeline for DP-GP-LVM."""
     caches, phi = dp_posterior(params, Y, config)
     m0 = init_latent_from_nearest(params["qx_mean"], Y, y_star, mask)
     m_s, s_s, trace = dp_infer_latent(
-        caches, phi, y_star, mask, m0, num_steps, lr, kernel=config.kernel
+        caches, phi, y_star, mask, m0, num_steps, lr, kernel=config.kernel,
+        tol=tol,
     )
     mean, var = dp_predict_from_latent(
         caches, phi, m_s, s_s, kernel=config.kernel
@@ -375,13 +434,13 @@ def mrd_infer_latent(
     num_steps: int = 200,
     lr: float = 0.05,
     kernel: str = "ard_rbf",
+    tol: float | None = None,
 ):
     """Fit q(x*) from the observed views (dict view_index -> (N*, D_v))."""
     var_params = {
         "m": m_init,
         "raw_s": positive_inverse(0.1 * jnp.ones_like(m_init)),
     }
-    opt = optax.adam(lr)
     items = sorted(observed.items())
 
     def objective(vp):
@@ -394,16 +453,7 @@ def mrd_infer_latent(
         kl = gaussian.kl_to_standard_normal(vp["m"], s)
         return -(ell - kl)
 
-    def step(carry, _):
-        vp, opt_state = carry
-        val, g = jax.value_and_grad(objective)(vp)
-        updates, opt_state = opt.update(g, opt_state)
-        vp = optax.apply_updates(vp, updates)
-        return (vp, opt_state), val
-
-    (vp, _), trace = jax.lax.scan(
-        step, (var_params, opt.init(var_params)), None, length=num_steps
-    )
+    vp, trace, _ = _fit_variational(objective, var_params, num_steps, lr, tol)
     return vp["m"], positive(vp["raw_s"]), -trace
 
 
@@ -415,6 +465,7 @@ def predict_view_from_views(
     target_view: int,
     num_steps: int = 200,
     lr: float = 0.05,
+    tol: float | None = None,
 ):
     """MRD cross-view prediction: observe some views of new points, infer
     the shared q(x*), and predict the target view's mean/variance."""
@@ -426,7 +477,7 @@ def predict_view_from_views(
         params["qx_mean"], Ys[v0], y0, jnp.ones_like(y0)
     )
     m_s, s_s, trace = mrd_infer_latent(
-        caches, observed, m0, num_steps, lr, kernel=config.kernel
+        caches, observed, m0, num_steps, lr, kernel=config.kernel, tol=tol
     )
     mean, var = predict_from_latent(
         caches[target_view], m_s, s_s, kernel=config.kernel

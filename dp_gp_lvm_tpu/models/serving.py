@@ -23,8 +23,10 @@ from dp_gp_lvm_tpu.models import bgplvm, dp_gp_lvm, mrd, prediction
 
 def make_bgplvm_imputer(
     params, Y, config: bgplvm.Config, num_steps: int = 150, lr: float = 0.05,
+    tol: float | None = None,
 ) -> Callable:
-    """Returns jitted `impute(y_star, mask) -> (mean, var)`."""
+    """Returns jitted `impute(y_star, mask) -> (mean, var)`. `tol`
+    enables early-stopped latent inference (num_steps stays the cap)."""
     cache = prediction.bgplvm_posterior(params, Y, config)
     qx_mean = params["qx_mean"]
 
@@ -32,7 +34,8 @@ def make_bgplvm_imputer(
     def impute(y_star, mask):
         m0 = prediction.init_latent_from_nearest(qx_mean, Y, y_star, mask)
         m_s, s_s, _ = prediction.infer_latent(
-            cache, y_star, mask, m0, num_steps, lr, kernel=config.kernel
+            cache, y_star, mask, m0, num_steps, lr, kernel=config.kernel,
+            tol=tol,
         )
         return prediction.predict_from_latent(
             cache, m_s, s_s, kernel=config.kernel
@@ -43,7 +46,7 @@ def make_bgplvm_imputer(
 
 def make_dp_imputer(
     params, Y, config: dp_gp_lvm.Config, num_steps: int = 150,
-    lr: float = 0.05,
+    lr: float = 0.05, tol: float | None = None,
 ) -> Callable:
     """Returns jitted `impute(y_star, mask) -> (mean, var)` mixing atoms."""
     caches, phi = prediction.dp_posterior(params, Y, config)
@@ -54,7 +57,7 @@ def make_dp_imputer(
         m0 = prediction.init_latent_from_nearest(qx_mean, Y, y_star, mask)
         m_s, s_s, _ = prediction.dp_infer_latent(
             caches, phi, y_star, mask, m0, num_steps, lr,
-            kernel=config.kernel,
+            kernel=config.kernel, tol=tol,
         )
         return prediction.dp_predict_from_latent(
             caches, phi, m_s, s_s, kernel=config.kernel
@@ -65,7 +68,7 @@ def make_dp_imputer(
 
 def make_mrd_cross_view_predictor(
     params, Ys, config: mrd.Config, observed_view: int, target_view: int,
-    num_steps: int = 150, lr: float = 0.05,
+    num_steps: int = 150, lr: float = 0.05, tol: float | None = None,
 ) -> Callable:
     """Returns jitted `predict(y_observed_view) -> (mean, var)`."""
     caches = prediction.mrd_posterior(params, Ys, config)
@@ -80,7 +83,7 @@ def make_mrd_cross_view_predictor(
         )
         m_s, s_s, _ = prediction.mrd_infer_latent(
             caches, {observed_view: y_obs}, m0, num_steps, lr,
-            kernel=config.kernel,
+            kernel=config.kernel, tol=tol,
         )
         return prediction.predict_from_latent(
             caches[target_view], m_s, s_s, kernel=config.kernel

@@ -1,0 +1,118 @@
+"""Serving-path latency benchmark (VERDICT r1 item 9).
+
+Measures ms/request of the compile-once imputers (models/serving.py) at
+the BASELINE mocap scale (N=1024, D=59, T=20, M=64) across batch sizes,
+for both the fixed-unroll and the tol-early-stop latent-inference modes,
+and verifies compile-once behavior by the jitted function's cache size
+(one compiled program per batch shape — no per-request retracing).
+
+Axon-relay timing rules (CLAUDE.md): the relay content-caches IDENTICAL
+dispatches, so every timed request uses a DISTINCT input batch; requests
+are issued sequentially with block_until_ready.
+
+    python experiments/serving_bench.py --out results/serving_bench.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N, D, Q, M, T = 1024, 59, 10, 64, 20
+BATCHES = (1, 8, 32, 128)
+REPEATS = 8
+
+
+def bench_callable(fn, make_args, repeats=REPEATS):
+    """Median seconds/call over `repeats` calls on DISTINCT inputs (relay
+    cache rule); first call (compile) excluded."""
+    import jax
+
+    args0 = make_args(0)
+    jax.block_until_ready(fn(*args0))  # compile
+    times = []
+    for k in range(1, repeats + 1):
+        args = make_args(k)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/serving_bench.json")
+    ap.add_argument("--train-steps", type=int, default=300)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from dp_gp_lvm_tpu.data import synthetic
+    from dp_gp_lvm_tpu.models import dp_gp_lvm, serving
+    from dp_gp_lvm_tpu.train.loop import fit
+
+    dtype = jnp.float32
+    rng = jax.random.PRNGKey(0)
+    Y, _ = synthetic.mocap_like(rng, n=N, d=D, dtype=dtype)
+    config = dp_gp_lvm.Config(num_latent=Q, num_inducing=M, truncation=T)
+    params = dp_gp_lvm.init_params(rng, Y, config)
+    # brief training so the posterior caches are realistic (latency does
+    # not depend on convergence, but degenerate params can trip jitter
+    # escalation and skew timings)
+    params, _ = fit(
+        lambda p, y: dp_gp_lvm.loss(p, y, config), params, (Y,),
+        args.train_steps, lr=3e-3,
+    )
+
+    rows = []
+    for mode, tol, steps in (("unroll150", None, 150), ("tol1e-5", 1e-5, 300)):
+        imputer = serving.make_dp_imputer(
+            params, Y, config, num_steps=steps, tol=tol
+        )
+        for b in BATCHES:
+
+            def make_args(k, b=b):
+                r = jax.random.PRNGKey(1000 * b + k)
+                y = jax.random.normal(r, (b, D), dtype)
+                mask = jnp.ones((b, D), dtype).at[:, D // 2 :].set(0.0)
+                return y, mask
+
+            sec = bench_callable(imputer, make_args)
+            rows.append(
+                {
+                    "mode": mode,
+                    "batch": b,
+                    "ms_per_request": round(sec * 1e3, 3),
+                    "ms_per_row": round(sec * 1e3 / b, 4),
+                }
+            )
+            print(rows[-1], flush=True)
+        # compile-once check: one executable per batch shape, none of the
+        # timed repeats retraced
+        n_cached = imputer._cache_size()
+        assert n_cached == len(BATCHES), (mode, n_cached)
+
+    artifact = {
+        "scale": {"n": N, "d": D, "q": Q, "m": M, "t": T},
+        "device": jax.devices()[0].device_kind,
+        "repeats": REPEATS,
+        "compile_once_verified": True,
+        "rows": rows,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump(artifact, fh, indent=2)
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()
