@@ -30,6 +30,16 @@ Mosaic constraints encountered (also in CLAUDE.md): no scalar or
 1-element stores to VMEM, no multi-axis reductions straight to rank-1,
 dynamically-indexed reads inside fori_loop must keep a leading length-1
 dim via pl.ds, VMEM (~16 MB) caps block sizes (B=64 @ M=64, B=32 @ M=128).
+
+Dot precision inside Mosaic (round-2 PALLAS_TPU gate finding): Mosaic
+supports only Precision.DEFAULT and Precision.HIGHEST — HIGH fails to
+lower, and DEFAULT is a SINGLE bf16 MXU pass even for f32 operands, so
+the TPU bf16 trap applies INSIDE Pallas kernels too (~5e-3 scaled error
+vs f64 through the exponent, vs ~7e-5 for any honest f32 path). Every
+dot/dot_general in this file therefore pins precision=HIGHEST; measured
+dense rates on this chip are 21.3 TF/s (HIGHEST) vs 47.7 (DEFAULT), and
+HIGHEST also beats a manual 3-pass bf16 split (~16 TF/s), so it is the
+fastest CORRECT option, not just the safest.
 """
 from __future__ import annotations
 
@@ -41,6 +51,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dp_gp_lvm_tpu.kernels import ard_rbf
+
+# full-f32 MXU passes (precision=HIGHEST, required: default bf16
+# demotion costs ~1e-2 scaled error vs f64 — PALLAS_TPU gate) need
+# more scoped VMEM than the 16MB compiler default at the swept block
+# sizes; v5e has 128MB physical VMEM per core.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _psi2_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref, z_ref, out_ref):
@@ -57,14 +73,14 @@ def _psi2_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref, z_ref, out_ref):
     log_norm = -0.5 * jnp.sum(jnp.log(denom), axis=1)      # (B,)
     sterm = jnp.sum(b * mu * mu, axis=1)                   # (B,)
     zt = z.T                                               # (Q, M)
-    t = jnp.dot(b * mu, zt, preferred_element_type=jnp.float32)   # (B, M)
-    p = jnp.dot(b, (z * z).T, preferred_element_type=jnp.float32)  # (B, M)
+    t = jnp.dot(b * mu, zt, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)   # (B, M)
+    p = jnp.dot(b, (z * z).T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # (B, M)
 
     # n-independent -1/4 alpha-weighted Z pair distance
     zs = z * jnp.sqrt(alpha)[None, :]
     zn = jnp.sum(zs * zs, axis=1)
     zd2 = zn[:, None] - 2.0 * jnp.dot(
-        zs, zs.T, preferred_element_type=jnp.float32
+        zs, zs.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     ) + zn[None, :]
     log_e = -0.25 * jnp.maximum(zd2, 0.0)                  # (M, M)
 
@@ -73,7 +89,7 @@ def _psi2_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref, z_ref, out_ref):
     c = jax.lax.dot_general(
         zb, z,
         dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )                                                      # (B, M, M)
 
     half = t - 0.25 * p                                    # (B, M)
@@ -144,6 +160,7 @@ def psi2_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, m), dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(
         jnp.reshape(variance.astype(dtype), (1, 1)),
         jnp.reshape(ard.astype(dtype), (1, q)),
@@ -165,8 +182,8 @@ def _psi1_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref, z_ref, out_ref):
     a = alpha[None, :] / denom
     log_norm = -0.5 * jnp.sum(jnp.log(denom), axis=1)      # (B,)
     row = jnp.sum(a * mu * mu, axis=1)
-    cross = jnp.dot(a * mu, z.T, preferred_element_type=jnp.float32)
-    zsq = jnp.dot(a, (z * z).T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(a * mu, z.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    zsq = jnp.dot(a, (z * z).T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     quad = row[:, None] - 2.0 * cross + zsq
     var = var_ref[0, 0]
     expo = jnp.minimum(log_norm[:, None] - 0.5 * quad, 0.0)  # <= 0 exactly
@@ -208,6 +225,7 @@ def psi1_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, m), dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(
         jnp.reshape(variance.astype(dtype), (1, 1)),
         jnp.reshape(ard.astype(dtype), (1, q)),
@@ -240,20 +258,20 @@ def _psi2_batched_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref, z_ref,
     b = alpha[None, :] / denom
     log_norm = -0.5 * jnp.sum(jnp.log(denom), axis=1)
     sterm = jnp.sum(b * mu * mu, axis=1)
-    t = jnp.dot(b * mu, z.T, preferred_element_type=jnp.float32)
-    p = jnp.dot(b, (z * z).T, preferred_element_type=jnp.float32)
+    t = jnp.dot(b * mu, z.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    p = jnp.dot(b, (z * z).T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
     zs = z * jnp.sqrt(alpha)[None, :]
     zn = jnp.sum(zs * zs, axis=1)
     zd2 = zn[:, None] - 2.0 * jnp.dot(
-        zs, zs.T, preferred_element_type=jnp.float32
+        zs, zs.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     ) + zn[None, :]
     log_e = -0.25 * jnp.maximum(zd2, 0.0)
 
     zb = z[None, :, :] * b[:, None, :]
     c = jax.lax.dot_general(
         zb, z, dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     half = t - 0.25 * p
     expo = (
@@ -323,6 +341,7 @@ def psi2_batched_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, m, m), dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(
         variances.astype(dtype)[:, None],
         ards.astype(dtype)[:, None, :],
@@ -383,18 +402,18 @@ def _psi2_bwd_batched_kernel(
         b = alpha[None, :] / u
         log_norm = -0.5 * jnp.sum(jnp.log(u), axis=1)
         sterm = jnp.sum(b * mu * mu, axis=1)
-        t_mat = jnp.dot(b * mu, z.T, preferred_element_type=mu.dtype)
-        p_mat = jnp.dot(b, (z * z).T, preferred_element_type=mu.dtype)
+        t_mat = jnp.dot(b * mu, z.T, preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST)
+        p_mat = jnp.dot(b, (z * z).T, preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST)
         zs_sc = z * jnp.sqrt(alpha)[None, :]
         zn = jnp.sum(zs_sc * zs_sc, axis=1)
         zd2 = zn[:, None] - 2.0 * jnp.dot(
-            zs_sc, zs_sc.T, preferred_element_type=mu.dtype
+            zs_sc, zs_sc.T, preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST
         ) + zn[None, :]
         log_e = -0.25 * jnp.maximum(zd2, 0.0)
         zb = z[None, :, :] * b[:, None, :]
         c = jax.lax.dot_general(
             zb, z, dimension_numbers=(((2,), (1,)), ((), ())),
-            preferred_element_type=mu.dtype,
+            preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST,
         )
         half = t_mat - 0.25 * p_mat
         expo = (
@@ -426,11 +445,11 @@ def _psi2_bwd_batched_kernel(
         rsum = jnp.sum(ws, axis=2)                       # (B, M)
         wsz = jax.lax.dot_general(
             ws, z, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=mu.dtype,
+            preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST,
         )                                                # (B, M, Q)
         u_quad = 0.5 * jnp.sum(wsz * z[None, :, :], axis=1)  # (B, Q)
-        rz = jnp.dot(rsum, z, preferred_element_type=mu.dtype)
-        rz2 = jnp.dot(rsum, z * z, preferred_element_type=mu.dtype)
+        rz = jnp.dot(rsum, z, preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST)
+        rz2 = jnp.dot(rsum, z * z, preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST)
         v_blk = jnp.sum(wmat, axis=0)                    # (M, M)
 
         gb = (-mu * mu * a_vec[:, None] + mu * rz - 0.25 * rz2
@@ -442,11 +461,11 @@ def _psi2_bwd_batched_kernel(
         )
         bz_t = jax.lax.dot_general(
             rsum, b * mu, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=mu.dtype,
+            preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST,
         )                                                # (M, Q)
         bz_p = jax.lax.dot_general(
             rsum, b, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=mu.dtype,
+            preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST,
         )                                                # (M, Q)
         bz_c = jnp.sum(wsz * b[:, None, :], axis=0)      # (M, Q)
         gz_blk = bz_t - 0.5 * z * bz_p - 0.5 * bz_c
@@ -525,6 +544,7 @@ def psi2_bwd_batched_pallas(
         ),
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(
         variances.astype(dtype)[:, None],
         ards.astype(dtype),
@@ -595,18 +615,18 @@ def _suffstats_batched_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref,
     b = alpha[None, :] / denom
     log_norm = -0.5 * jnp.sum(jnp.log(denom), axis=1)
     sterm = jnp.sum(b * mu * mu, axis=1)
-    t = jnp.dot(b * mu, z.T, preferred_element_type=mu.dtype)
-    p = jnp.dot(b, (z * z).T, preferred_element_type=mu.dtype)
+    t = jnp.dot(b * mu, z.T, preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST)
+    p = jnp.dot(b, (z * z).T, preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST)
     zs = z * jnp.sqrt(alpha)[None, :]
     zn = jnp.sum(zs * zs, axis=1)
     zd2 = zn[:, None] - 2.0 * jnp.dot(
-        zs, zs.T, preferred_element_type=mu.dtype
+        zs, zs.T, preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST
     ) + zn[None, :]
     log_e = -0.25 * jnp.maximum(zd2, 0.0)
     zb = z[None, :, :] * b[:, None, :]
     c = jax.lax.dot_general(
         zb, z, dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=mu.dtype,
+        preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST,
     )
     half = t - 0.25 * p
     expo = (
@@ -625,8 +645,8 @@ def _suffstats_batched_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref,
     a1 = alpha[None, :] / u1
     log_norm1 = -0.5 * jnp.sum(jnp.log(u1), axis=1)
     row1 = jnp.sum(a1 * mu * mu, axis=1)
-    cross1 = jnp.dot(a1 * mu, z.T, preferred_element_type=mu.dtype)
-    zsq1 = jnp.dot(a1, (z * z).T, preferred_element_type=mu.dtype)
+    cross1 = jnp.dot(a1 * mu, z.T, preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST)
+    zsq1 = jnp.dot(a1, (z * z).T, preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST)
     e1 = jnp.minimum(
         log_norm1[:, None] - 0.5 * (row1[:, None] - 2.0 * cross1 + zsq1),
         0.0,
@@ -634,7 +654,7 @@ def _suffstats_batched_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref,
     psi1_blk = var * jnp.exp(e1) * w                       # (B, M)
     p1y_blk = jax.lax.dot_general(
         psi1_blk, y, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=mu.dtype,
+        preferred_element_type=mu.dtype, precision=jax.lax.Precision.HIGHEST,
     )                                                      # (M, D)
 
     @pl.when(i == 0)
@@ -694,6 +714,7 @@ def suffstats_batched_pallas(
             jax.ShapeDtypeStruct((t, m, d), dtype),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(
         variances.astype(dtype)[:, None],
         ards.astype(dtype)[:, None, :],

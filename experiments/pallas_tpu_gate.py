@@ -1,0 +1,303 @@
+"""Compiled-Mosaic correctness gate for the fused Pallas kernels.
+
+CI runs every Pallas equivalence test in interpret mode (tests/conftest.py
+pins 8 fake CPU devices), so compiled-TPU behavior was only ever implied
+by bench runs producing sane numbers (VERDICT r1 weak item 5). This
+script closes that hole: run it ON THE REAL TPU each round —
+
+    python experiments/pallas_tpu_gate.py --out PALLAS_TPU_r02.json
+
+Methodology: for each fused kernel it compares, ELEMENTWISE,
+
+  fused   = compiled Mosaic kernel, f32, on the TPU (values + all input
+            gradients through the custom VJPs), vs
+  xla     = the pure-JAX psi path, f32, same device, vs
+  ref     = the pure-JAX path in float64 on CPU (computed in a clean-env
+            subprocess — ground truth).
+
+The gate passes when the fused kernel's distance to the f64 truth is
+within ABS_TOL or within RATIO x the f32 XLA path's own distance — i.e.
+the compiled kernel is as accurate as any f32 realization of the math
+can be. (A plain fused-vs-xla scalar diff is the wrong test: both carry
+f32 reduction error, and scalarizing through a random cotangent suffers
+catastrophic cancellation.)
+
+tests/test_pallas_tpu.py runs the same checks as a pytest module when
+the backend is a TPU (skipped in CPU CI).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ABS_TOL = 3e-4   # scaled; generous f32 headroom, ~100x below any bug
+RATIO = 3.0      # fused may be at most 3x the XLA path's own f32 error
+
+SHAPES = dict(n=2048, m=64, q=8, t=8, d=16, block=128)
+
+
+def _inputs(dtype, shapes=SHAPES):
+    import jax
+    import jax.numpy as jnp
+
+    n, m, q, t, d = (shapes[k] for k in ("n", "m", "q", "t", "d"))
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    mk = lambda k, shape: jax.random.normal(k, shape, jnp.float32).astype(
+        dtype
+    )
+    uni = lambda k, shape, lo, hi: (
+        lo + (hi - lo) * jax.random.uniform(k, shape, jnp.float32)
+    ).astype(dtype)
+    return dict(
+        mu=mk(keys[0], (n, q)),
+        s=uni(keys[1], (n, q), 0.1, 0.4),
+        Z=mk(keys[2], (m, q)),
+        Zs=mk(keys[2], (t, m, q)).reshape(t, m, q),
+        variance=jnp.asarray(1.3, dtype),
+        ard=uni(keys[3], (q,), 0.5, 1.5),
+        variances=uni(keys[4], (t,), 0.8, 1.8),
+        ards=uni(keys[5], (t, q), 0.5, 1.5),
+        w=uni(keys[6], (n,), 0.2, 1.2),
+        Y=mk(keys[7], (n, d)),
+        ct1=mk(jax.random.PRNGKey(9), (n, m)),
+        ct2=mk(jax.random.PRNGKey(10), (m, m)),
+        ct2b=mk(jax.random.PRNGKey(11), (t, m, m)),
+        ct1y=mk(jax.random.PRNGKey(12), (t, m, d)),
+    )
+
+
+def _check_defs(iv, impl, interpret, block):
+    """{name: (fn, args)} where fn returns a dict of output arrays
+    (kernel outputs + gradients wrt every differentiable input).
+    impl: 'fused' -> Pallas kernels; 'xla' -> pure-JAX psi path."""
+    import jax
+    import jax.numpy as jnp
+
+    from dp_gp_lvm_tpu.kernels import ard_rbf
+    from dp_gp_lvm_tpu.ops.pallas import psi as psi_pallas
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def with_grads(out_fn, ct):
+        def run(*args):
+            out = out_fn(*args)
+            grads = jax.grad(
+                lambda *a: jnp.sum(out_fn(*a) * ct),
+                argnums=tuple(range(len(args))),
+            )(*args)
+            return {"out": out, **{f"g{i}": g for i, g in enumerate(grads)}}
+
+        return run
+
+    if impl == "fused":
+        psi1 = lambda v, a, mu, s, z: psi_pallas.psi1_fused(
+            v, a, mu, s, z, block, interpret
+        )
+        psi2 = lambda v, a, mu, s, z, w=None: psi_pallas.psi2_fused(
+            v, a, mu, s, z, w, 32, interpret
+        )
+        psi2b = lambda vs, as_, mu, s, zs: psi_pallas.psi2_batched_fused(
+            vs, as_, mu, s, zs, None, block, interpret
+        )
+
+        def ss(vs, as_, mu, s, zs, y, w=None):
+            return psi_pallas.suffstats_batched_fused(
+                vs, as_, mu, s, zs, y, w, block, interpret
+            )
+
+    else:
+        psi1 = lambda v, a, mu, s, z: ard_rbf.psi1(v, a, mu, s, z)
+        psi2 = lambda v, a, mu, s, z, w=None: ard_rbf.psi2(v, a, mu, s, z, w)
+        psi2b = lambda vs, as_, mu, s, zs: jax.vmap(
+            lambda v, a, z: ard_rbf.psi2(v, a, mu, s, z)
+        )(vs, as_, zs)
+
+        def ss(vs, as_, mu, s, zs, y, w=None):
+            p2 = jax.vmap(lambda v, a, z: ard_rbf.psi2(v, a, mu, s, z, w))(
+                vs, as_, zs
+            )
+            yw = y if w is None else y * w[:, None]
+            p1y = jax.vmap(
+                lambda v, a, z: jnp.dot(
+                    ard_rbf.psi1(v, a, mu, s, z).T, yw, precision=hi
+                )
+            )(vs, as_, zs)
+            return p2, p1y
+
+    def ss_scalarized(ct2b, ct1y):
+        def out_fn(*args):
+            p2, p1y = ss(*args)
+            # single array so with_grads can contract it: stack flats
+            return jnp.concatenate([p2.ravel(), p1y.ravel()])
+
+        ct = jnp.concatenate([ct2b.ravel(), ct1y.ravel()])
+        return with_grads(out_fn, ct)
+
+    return {
+        "psi1_fused": (
+            with_grads(psi1, iv["ct1"]),
+            (iv["variance"], iv["ard"], iv["mu"], iv["s"], iv["Z"]),
+        ),
+        "psi2_fused": (
+            with_grads(psi2, iv["ct2"]),
+            (iv["variance"], iv["ard"], iv["mu"], iv["s"], iv["Z"]),
+        ),
+        "psi2_fused_weighted": (
+            with_grads(psi2, iv["ct2"]),
+            (iv["variance"], iv["ard"], iv["mu"], iv["s"], iv["Z"], iv["w"]),
+        ),
+        "psi2_batched_fused": (
+            with_grads(psi2b, iv["ct2b"]),
+            (iv["variances"], iv["ards"], iv["mu"], iv["s"], iv["Zs"]),
+        ),
+        "suffstats_batched_fused": (
+            ss_scalarized(iv["ct2b"], iv["ct1y"]),
+            (
+                iv["variances"], iv["ards"], iv["mu"], iv["s"], iv["Zs"],
+                iv["Y"],
+            ),
+        ),
+        "suffstats_batched_fused_weighted": (
+            ss_scalarized(iv["ct2b"], iv["ct1y"]),
+            (
+                iv["variances"], iv["ards"], iv["mu"], iv["s"], iv["Zs"],
+                iv["Y"], iv["w"],
+            ),
+        ),
+    }
+
+
+def compute_all(impl, dtype_str):
+    """Run every check; returns {check: {leaf: np.ndarray}}."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dtype = jnp.float64 if dtype_str == "f64" else jnp.float32
+    iv = _inputs(dtype)
+    interpret = jax.default_backend() in ("cpu", "gpu")
+    defs = _check_defs(iv, impl, interpret, SHAPES["block"])
+    out = {}
+    for name, (fn, args) in defs.items():
+        res = jax.jit(fn)(*args)
+        out[name] = {k: np.asarray(v, np.float64) for k, v in res.items()}
+    return out
+
+
+def _ref_subprocess():
+    """f64 pure-JAX reference in a clean-env CPU subprocess."""
+    import numpy as np
+
+    with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as tmp:
+        path = tmp.name
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "JAX_PLATFORMS")
+    }
+    env.update(
+        PYTHONPATH="",
+        JAX_PLATFORMS="cpu",
+        JAX_ENABLE_X64="1",
+        JAX_COMPILATION_CACHE_DIR="/root/.cache/jax_comp",
+    )
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--ref-out", path],
+        check=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    loaded = np.load(path)
+    os.unlink(path)
+    out = {}
+    for key in loaded.files:
+        check, leaf = key.split("|")
+        out.setdefault(check, {})[leaf] = loaded[key]
+    return out
+
+
+def scaled_err(ref, got):
+    import numpy as np
+
+    scale = max(float(np.max(np.abs(ref))), 1e-6)
+    return float(np.max(np.abs(ref - got)) / scale)
+
+
+def run_checks():
+    """Returns {check: {"fused_vs_f64", "xla_vs_f64", "ok"}}."""
+    ref = _ref_subprocess()
+    fused = compute_all("fused", "f32")
+    xla = compute_all("xla", "f32")
+    results = {}
+    for name in ref:
+        e_fused = max(
+            scaled_err(ref[name][k], fused[name][k]) for k in ref[name]
+        )
+        e_xla = max(
+            scaled_err(ref[name][k], xla[name][k]) for k in ref[name]
+        )
+        results[name] = {
+            "fused_vs_f64": e_fused,
+            "xla_vs_f64": e_xla,
+            "ok": e_fused <= max(ABS_TOL, RATIO * e_xla),
+        }
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PALLAS_TPU_r02.json")
+    ap.add_argument("--ref-out", default=None, help="internal: write the "
+                    "f64 reference npz and exit")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.ref_out:
+        import numpy as np
+
+        ref = compute_all("xla", "f64")
+        flat = {
+            f"{check}|{leaf}": arr
+            for check, leaves in ref.items()
+            for leaf, arr in leaves.items()
+        }
+        np.savez(args.ref_out, **flat)
+        return
+
+    backend = jax.default_backend()
+    results = run_checks()
+    ok = all(r["ok"] for r in results.values())
+    artifact = {
+        "backend": backend,
+        "device": jax.devices()[0].device_kind,
+        "compiled": backend not in ("cpu", "gpu"),
+        "criterion": {"abs_tol": ABS_TOL, "ratio_vs_xla_f32": RATIO},
+        "shapes": SHAPES,
+        "checks": {
+            k: {
+                "fused_vs_f64": round(v["fused_vs_f64"], 8),
+                "xla_vs_f64": round(v["xla_vs_f64"], 8),
+                "ok": v["ok"],
+            }
+            for k, v in sorted(results.items())
+        },
+        "ok": ok,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(artifact, fh, indent=2)
+    print(json.dumps(artifact, indent=2))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
