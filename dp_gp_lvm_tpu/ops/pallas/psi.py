@@ -576,20 +576,31 @@ def psi2_bwd_batched_pallas(
     return gvar_final, gard, gmu[:n], gs[:n], gz, gw[:n, 0]
 
 
+def _vmem_block_cap(m: int) -> int:
+    """Largest power-of-two row block whose ~5 live (B, M, M) f32 tiles
+    fit in ~48 MB of the 64 MB VMEM limit (_COMPILER_PARAMS), capped at
+    256. Matches the v5e sweep at the limit: 256 @ M<=64, 128 @ M=128
+    (256 there is a Mosaic compile failure), 32 @ M=256."""
+    cap = 8
+    while cap < 256 and (2 * cap) * m * m * 4 * 5 <= 48 * 1024 * 1024:
+        cap *= 2
+    return cap
+
+
 def _bwd_block(m: int, n: int) -> int:
-    """VMEM-safe backward block: the bwd kernel holds ~5 (B, M, M) f32
-    tiles at once (e, e_raw, wmat, ws + inputs), so B*M*M*4*5 must sit
-    well under ~16 MB. Swept on v5e (results/roofline.json): B=128 beats
-    64 at M<=64; M=128 forces B=32."""
-    cap = 32 if m >= 128 else 128
-    return min(cap, max(8, n))
+    """Backward block. Re-swept on v5e at the 64 MB VMEM limit: B=256
+    edges out 128 at M<=64 (29.5 vs 29.9 ms, N=8192); B=128 now fits
+    AND wins at M=128 (55.4 vs 58.8 ms with the old 16 MB-limit B=32)."""
+    return min(_vmem_block_cap(m), max(8, n))
 
 
 def _fwd_block(m: int, n: int) -> int:
-    """Forward (suffstats) block: ~3 (B, M, M) tiles live. Swept: 128 at
-    M<=64 (12.4 vs 13.8 ms at N=8192), 32 at M=128."""
-    cap = 32 if m >= 128 else 128
-    return min(cap, max(8, n))
+    """Forward (suffstats) block. Re-swept at the 64 MB VMEM limit:
+    256 at M<=64 (15.8 ms vs 16.1 @128, N=8192); 128 at M=128 (27.4 vs
+    32.2 @32, the old 16 MB-limit choice). The fwd kernel's live-tile
+    count behaves like the bwd's in practice (B=256 @ M=128 also fails
+    to compile), so both share _vmem_block_cap."""
+    return min(_vmem_block_cap(m), max(8, n))
 
 
 def _suffstats_batched_kernel(var_ref, ard_ref, mu_ref, s_ref, w_ref,
