@@ -83,18 +83,24 @@ def psi0(variance, ard, mu, s, weights=None, kernel: str = "ard_rbf"):
 
 
 def resolve_pallas(use_pallas, kernel: str, t: int, n: int, m: int) -> bool:
-    """Static fused-kernel decision from the tile volume t*n*m^2.
+    """Static fused-kernel decision: M >= 96 AND tile volume t*n*m^2
+    above ~5e8.
 
-    The ~5e8-element crossover is measured (SCALING.md): XLA's single-shot
-    psi path wins below it; the fused Pallas kernels win ~3x above. The
-    same rule serves single-device ("auto" in model configs) and the
-    shard_map path (which passes PER-DEVICE shapes — the crossover is
-    about local work).
+    Both cuts are measured on v5e with identical-precision arithmetic
+    (results/roofline.json; the compiled kernels pin in-kernel f32 —
+    see ops/pallas/psi.py): at M=128 the fused fwd+bwd wins ~2x
+    (89.8 vs 177.4 ms at N=8192/T=20) and the margin grows with N; at
+    M<=64 XLA's single-shot lowering is consistently faster (40.5 vs
+    45.0 ms at N=8192, 148.8 vs 164.3 at N=32768) because the (B, M)
+    stages pad half the 128-wide MXU lanes while XLA fuses the whole
+    step. The same rule serves single-device ("auto" in model configs)
+    and the shard_map path (which passes PER-DEVICE shapes — the
+    crossover is about local work).
     """
     if kernel != "ard_rbf":
         return False
     if use_pallas == "auto":
-        return t * n * m * m > int(5e8)
+        return m >= 96 and t * n * m * m > int(5e8)
     return bool(use_pallas)
 
 
