@@ -33,6 +33,10 @@ class ExperimentConfig:
     restarts: int = 1            # train from `restarts` init seeds, keep
     #                              the best final ELBO (non-convex models:
     #                              MRD's independent-encoding local optimum)
+    ngd_lr: float | None = None  # natural-gradient rate for q(X) params
+    #                              (train.loop.ngd_precondition); None = Adam
+    #                              everywhere. ~1.0 is the measured stable
+    #                              optimum at mocap scale; 2.0+ destabilizes.
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

@@ -33,6 +33,46 @@ HYPER_PARAM_NAMES = frozenset(
 )
 
 
+def ngd_precondition() -> optax.GradientTransformation:
+    """Inverse-Fisher preconditioner for the diag-Gaussian q(X) params.
+
+    For q(X) = N(m, diag(s)) the Fisher information is block-diagonal
+    diag(1/s, 1/(2 s^2)); in the raw (inverse-softplus) parameterization
+    of s the metric picks up the bijector Jacobian sigmoid(raw)^2, so
+
+        natgrad_m   = s * g_m
+        natgrad_raw = 2 s^2 / sigmoid(raw)^2 * g_raw.
+
+    Exact and elementwise — no extra state, no linear solves. The
+    classic effect (GPflow natural-gradient practice: NGD on variational
+    params, Adam elsewhere) is removing the pathological curvature of
+    the variance directions, whose plain gradients vanish as s -> 0.
+    Chain with optax.scale(-lr) / scale_by_schedule for the step size.
+    Expects the labeled subtree to contain "qx_mean" and "raw_qx_var".
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ngd_precondition requires params")
+        from dp_gp_lvm_tpu.core.transforms import positive_variational_var
+
+        raw = params["raw_qx_var"]
+        s = positive_variational_var(raw)
+        sig = jax.nn.sigmoid(raw)
+        new = dict(updates)
+        new["qx_mean"] = updates["qx_mean"] * s
+        new["raw_qx_var"] = (
+            updates["raw_qx_var"] * 2.0 * s * s / (sig * sig + 1e-12)
+        )
+        return new, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def gp_optimizer(
     params,
     lr: float = 1e-2,
@@ -40,6 +80,7 @@ def gp_optimizer(
     clip: float = 100.0,
     skip_nonfinite: int = 100_000,
     decay_steps: int | None = None,
+    ngd_lr: float | None = None,
 ) -> optax.GradientTransformation:
     """Stability-tuned optimizer for the GP-LVM family.
 
@@ -57,25 +98,42 @@ def gp_optimizer(
     failures self-repair, so the counter never accumulates.
     """
     hyper_lr = lr / 10.0 if hyper_lr is None else hyper_lr
+    ngd_sched = None
     if decay_steps:
+        if ngd_lr is not None:
+            ngd_sched = optax.cosine_decay_schedule(
+                ngd_lr, decay_steps, alpha=0.05
+            )
         lr = optax.cosine_decay_schedule(lr, decay_steps, alpha=0.05)
         hyper_lr = optax.cosine_decay_schedule(
             hyper_lr, decay_steps, alpha=0.05
         )
+    elif ngd_lr is not None:
+        ngd_sched = lambda _: ngd_lr
+
+    NGD_NAMES = frozenset({"qx_mean", "raw_qx_var"})
 
     def label(k):
-        return "hyper" if k in HYPER_PARAM_NAMES else "var"
+        if k in HYPER_PARAM_NAMES:
+            return "hyper"
+        if ngd_lr is not None and k in NGD_NAMES:
+            return "ngd"
+        return "var"
 
     labels = {k: label(k) for k in params}
     if isinstance(params, dict) and "views" in params:
         labels["views"] = [
             {kk: label(kk) for kk in vp} for vp in params["views"]
         ]
+    transforms = {"hyper": optax.adam(hyper_lr), "var": optax.adam(lr)}
+    if ngd_lr is not None:
+        transforms["ngd"] = optax.chain(
+            ngd_precondition(),
+            optax.scale_by_schedule(lambda c: -ngd_sched(c)),
+        )
     opt = optax.chain(
         optax.clip_by_global_norm(clip),
-        optax.multi_transform(
-            {"hyper": optax.adam(hyper_lr), "var": optax.adam(lr)}, labels
-        ),
+        optax.multi_transform(transforms, labels),
     )
     if skip_nonfinite:
         opt = optax.apply_if_finite(opt, skip_nonfinite)
@@ -98,7 +156,9 @@ def make_step_fn(
 
     def step(state: TrainState, *data):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, *data)
-        updates, opt_state = optimizer.update(grads, state.opt_state)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
         metrics = {"loss": loss, "elbo": -loss, "grad_norm": gnorm}
@@ -121,7 +181,9 @@ def make_multi_step_fn(
 
     def one(state, *data):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, *data)
-        updates, opt_state = optimizer.update(grads, state.opt_state)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 

@@ -23,6 +23,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", help="name from dp_gp_lvm_tpu.core.config")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--ngd-lr", type=float, default=None,
+                    help="override config.ngd_lr (natural-gradient rate\n                    for the q(X) variational params)")
     ap.add_argument("--out", default=None, help="output dir (logs/ckpts/npz)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--log-every", type=int, default=50)
@@ -161,7 +163,9 @@ def main():
     # ---- train ------------------------------------------------------------
     from dp_gp_lvm_tpu.train.loop import gp_optimizer
 
-    optimizer = gp_optimizer(params, lr=cfg.lr, decay_steps=steps)
+    ngd_lr = args.ngd_lr if args.ngd_lr is not None else cfg.ngd_lr
+    optimizer = gp_optimizer(params, lr=cfg.lr, decay_steps=steps,
+                             ngd_lr=ngd_lr)
     step_fn = make_step_fn(loss_fn, optimizer, donate=False)
 
     ck = ckpt_lib.Checkpointer(os.path.join(out_dir, "ckpt")) \

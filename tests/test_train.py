@@ -113,3 +113,52 @@ def test_skip_nonfinite_step_guard():
     # and training continues normally afterwards
     state, m3 = step(state, Y)
     assert np.isfinite(float(m3["loss"]))
+
+
+def test_ngd_precondition_formula():
+    """ngd_precondition applies the exact inverse Fisher of a diag
+    Gaussian in the raw (inverse-softplus) variance parameterization:
+    g_m -> s*g_m, g_raw -> 2 s^2 / sigmoid(raw)^2 * g_raw."""
+    from dp_gp_lvm_tpu.core.transforms import positive_variational_var
+    from dp_gp_lvm_tpu.train.loop import ngd_precondition
+
+    rng = jax.random.PRNGKey(0)
+    raw = jax.random.normal(rng, (5, 3), jnp.float64)
+    params = {"qx_mean": jnp.zeros((5, 3)), "raw_qx_var": raw,
+              "other": jnp.zeros((2,))}
+    g = {"qx_mean": jnp.ones((5, 3)), "raw_qx_var": jnp.ones((5, 3)),
+         "other": jnp.full((2,), 7.0)}
+    tx = ngd_precondition()
+    out, _ = tx.update(g, tx.init(params), params)
+    s = positive_variational_var(raw)
+    sig = jax.nn.sigmoid(raw)
+    np.testing.assert_allclose(np.asarray(out["qx_mean"]), np.asarray(s),
+                               rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(out["raw_qx_var"]),
+        np.asarray(2.0 * s * s / (sig * sig + 1e-12)), rtol=1e-10,
+    )
+    # untouched leaves pass through
+    np.testing.assert_array_equal(np.asarray(out["other"]), 7.0)
+
+
+def test_ngd_optimizer_trains_and_helps_variances():
+    """gp_optimizer(ngd_lr=...) trains stably, and the q(X) variances
+    actually move — the pathology NGD exists to fix is Adam leaving them
+    near init (measured at mocap scale: +20k nats final ELBO vs Adam,
+    better held-out imputation; see results/ngd_convergence.json)."""
+    from dp_gp_lvm_tpu.train.loop import gp_optimizer
+
+    Y, cfg, params = _setup()
+    loss_fn = lambda p, y: bgplvm.loss(p, y, cfg)
+    opt = gp_optimizer(params, lr=2e-2, ngd_lr=0.5)
+    ms = make_multi_step_fn(loss_fn, opt, num_inner=60)
+    raw0 = np.asarray(params["raw_qx_var"]).copy()
+    l0 = float(loss_fn(params, Y))
+    state = init_state(jax.tree.map(jnp.copy, params), opt)
+    state, losses = ms(state, Y)
+    l1 = float(losses[-1])
+    assert np.isfinite(l1)
+    assert l1 < l0, (l0, l1)
+    moved = np.abs(np.asarray(state.params["raw_qx_var"]) - raw0)
+    assert float(moved.max()) > 0.1, float(moved.max())
