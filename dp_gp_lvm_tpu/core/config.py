@@ -71,14 +71,18 @@ CONFIGS: dict[str, ExperimentConfig] = {
         restarts=3,
     ),
     # BASELINE configs[3]
+    # ngd_lr=1.0: natural gradients on q(X) lift the DP configs off
+    # Adam's variational-variance plateau (+20k nats at equal steps,
+    # better held-out imputation — results/ngd_convergence.json); the
+    # toy/small configs are already at their optimum under Adam.
     "c4_dp_mocap": ExperimentConfig(
         name="c4_dp_mocap", model="dp_gp_lvm", dataset="mocap",
-        n=1024, d=59, q=10, m=64, t=20, steps=8000, lr=3e-3,
+        n=1024, d=59, q=10, m=64, t=20, steps=8000, lr=3e-3, ngd_lr=1.0,
     ),
     # BASELINE configs[4]
     "c5_dp_missing": ExperimentConfig(
         name="c5_dp_missing", model="dp_gp_lvm", dataset="mocap",
-        n=1024, d=59, q=10, m=64, t=20, steps=8000, lr=3e-3,
+        n=1024, d=59, q=10, m=64, t=20, steps=8000, lr=3e-3, ngd_lr=1.0,
         missing_fraction=0.5,
     ),
     # BASELINE configs[4] second modality ("mocap + pose"): held-out-dim
@@ -86,7 +90,7 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # forward-kinematic limb groups), VERDICT r1 missing item 4.
     "c5_pose_missing": ExperimentConfig(
         name="c5_pose_missing", model="dp_gp_lvm", dataset="pose",
-        n=512, d=32, q=8, m=48, t=12, steps=6000, lr=3e-3,
+        n=512, d=32, q=8, m=48, t=12, steps=6000, lr=3e-3, ngd_lr=1.0,
         missing_fraction=0.5,
     ),
 }
@@ -120,21 +124,22 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
         # cross-view prediction must beat predicting the training mean
         "cross_view_mse_ratio": ("<=", 0.75),
     },
+    # calibrated on the 2026-08-17 NGD run: elbo +10075
     "c4_dp_mocap": {
-        "elbo": (">=", -11500.0),
+        "elbo": (">=", 7000.0),
     },
-    # calibrated on the 2026-08-17 TPU run under the clean protocol
-    # (train-only standardization, strided row holdout = interpolation):
-    # mse 0.0026, pll/dim +0.465
+    # calibrated on the 2026-08-17 NGD run under the clean protocol
+    # (train-only standardization, strided interpolation holdout):
+    # mse 0.0017, pll/dim +0.635
     "c5_dp_missing": {
-        "imputation_mse": ("<=", 0.02),
-        "predictive_loglik_per_dim": (">=", 0.0),
+        "imputation_mse": ("<=", 0.01),
+        "predictive_loglik_per_dim": (">=", 0.3),
     },
-    # calibrated on the 2026-08-17 TPU run: mse 0.153, pll/dim -0.133
+    # calibrated on the 2026-08-17 NGD run: mse 0.095, pll/dim -0.076
     # (16 of 32 keypoint dims imputed on the FK pose surrogate)
     "c5_pose_missing": {
-        "imputation_mse": ("<=", 0.25),
-        "predictive_loglik_per_dim": (">=", -0.35),
+        "imputation_mse": ("<=", 0.15),
+        "predictive_loglik_per_dim": (">=", -0.2),
     },
 }
 
