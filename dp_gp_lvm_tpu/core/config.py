@@ -54,7 +54,7 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # BASELINE configs[1]
     "c2_sparse_oil": ExperimentConfig(
         name="c2_sparse_oil", model="bgplvm", dataset="oil_flow",
-        n=1000, d=12, q=10, m=50, steps=3000, lr=1e-2,
+        n=1000, d=12, q=10, m=50, steps=3000, lr=1e-2, ngd_lr=1.0,
     ),
     # BASELINE configs[2]
     # n=256/m=32/8000 steps with a shared-dominant generator (q_shared=2,
@@ -115,8 +115,9 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
         "ard_recall_top2": (">=", 1.0),       # both true dims in the top 2
         "ard_separation_ratio": (">=", 10.0),  # active vs pruned ARD gap
     },
+    # calibrated on the 2026-08-17 NGD run: elbo -8029 (Adam: -9942)
     "c2_sparse_oil": {
-        "elbo": (">=", -17000.0),
+        "elbo": (">=", -9000.0),
     },
     # calibrated on the 2026-08-17 TPU run: elbo -4221, ratio 0.637
     "c3_mrd_twoview": {
