@@ -349,3 +349,17 @@ def test_suffstats_batched_fused_matches(setup):
     for a, b in zip(g_ref, g_new):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_resolve_pallas_dispatch_rule():
+    """The measured crossover (results/roofline.json): fused kernels only
+    at M >= 96 AND tile volume > 5e8; non-ard_rbf never; explicit
+    True/False always honored."""
+    from dp_gp_lvm_tpu.ops.dispatch import resolve_pallas
+
+    assert resolve_pallas("auto", "ard_rbf", 20, 8192, 128) is True
+    assert not resolve_pallas("auto", "ard_rbf", 20, 8192, 64)   # M cut
+    assert not resolve_pallas("auto", "ard_rbf", 1, 100, 128)    # volume cut
+    assert not resolve_pallas("auto", "linear", 20, 8192, 128)   # kernel cut
+    assert resolve_pallas(True, "ard_rbf", 1, 10, 8) is True
+    assert resolve_pallas(False, "ard_rbf", 20, 8192, 128) is False
