@@ -1,0 +1,314 @@
+r"""Stochastic (minibatch) variational GP-LVM — the uncollapsed Hensman
+bound, whitened.
+
+Beyond-reference capability: the reference (and every collapsed model in
+this package — SURVEY.md sections 3.4, 5 "long-context") evaluates the
+Titsias bound from FULL-batch sufficient statistics, so one step touches
+all N rows. This module keeps an explicit q(u) so the bound decomposes
+over data rows and trains from minibatches: per-step cost O(B M^2),
+independent of N. N then scales past both HBM and step-time limits on a
+single chip (and multiplies with the shard_map data axis).
+
+Math (Hensman et al. 2013, adapted to latent inputs with q(X); whitened
+u = L v with L = chol(K_uu), q(v_d) = N(m_d, S) — one S shared across
+output dims, which is EXACTLY optimal for homoskedastic noise):
+
+    fit_d = -n/2 log(2 pi s2) - beta/2 [ yty_d - 2 m_d^T a_d
+            + m_d^T A2 m_d + tr(S A2) + psi0 - tr(A2) ]
+    KL_u  = sum_d 1/2 [ ||m_d||^2 - M ] + D/2 [ tr(S) - logdet S ]
+    ELBO  = sum_d fit_d - KL_u - KL(q(X) || N(0, I))
+
+with a = L^{-1} Psi1^T Y and A2 = L^{-1} Psi2 L^{-T} — both assembled
+from the SAME SuffStats as the collapsed path (models/bound.py), so the
+psi dispatch (ops/dispatch.py) and the shard_map psum story carry over
+unchanged. Every data term is a sum over rows: a minibatch estimate just
+scales the batch SuffStats (and the batch rows' KL(q(X))) by N/B, which
+makes the estimator exactly unbiased (and exact for a disjoint
+partition: the mean over the partition's batch bounds equals the
+full-batch bound — tests/test_svi.py pins this as an identity).
+
+Closed-form optimum at full-batch stats (the oracle that ties this
+module to the collapsed bound): S* = (I + beta A2)^{-1},
+m* = beta S* a. Plugging (m*, S*) into the whitened bound recovers the
+Titsias collapsed bound exactly — `set_optimal_qu` + the equality test
+in tests/test_svi.py.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dp_gp_lvm_tpu.core.transforms import (
+    positive,
+    positive_inverse,
+    positive_noise,
+    positive_variational_var,
+)
+from dp_gp_lvm_tpu.core.types import JitterPolicy
+from dp_gp_lvm_tpu.distributions import gaussian
+from dp_gp_lvm_tpu.linalg import safe_cholesky, tri_solve
+from dp_gp_lvm_tpu.ops import dispatch
+from dp_gp_lvm_tpu.train.init import inducing_from_latents, pca_latents
+
+_HIGHEST = lax.Precision.HIGHEST
+
+
+class Config(NamedTuple):
+    """Static model hyperparameters (hashable; safe to close over)."""
+
+    num_latent: int
+    num_inducing: int
+    batch: int = 256               # minibatch rows per step
+    psi2_block: int | None = None
+    use_pallas: bool | str = "auto"
+    kernel: str = "ard_rbf"
+    fast_chol: bool = False
+
+
+def init_params(rng, Y, config: Config):
+    """PCA latents (full N), k-ish inducing from latents, whitened q(u)
+    at the prior (m=0, S=I)."""
+    dtype = Y.dtype
+    m, q, d = config.num_inducing, config.num_latent, Y.shape[1]
+    x0 = pca_latents(Y, q).astype(dtype)
+    z0 = inducing_from_latents(rng, x0, m)
+    return {
+        "qx_mean": x0,
+        "raw_qx_var": positive_inverse(0.5 * jnp.ones_like(x0)),
+        "z": z0,
+        "raw_variance": positive_inverse(jnp.asarray(1.0, dtype)),
+        "raw_ard": positive_inverse(jnp.ones((q,), dtype)),
+        "raw_noise": positive_inverse(jnp.asarray(0.1, dtype)),
+        # whitened q(u): mean (M, D); S = Ls Ls^T with Ls = tril(raw),
+        # diag through softplus (init S = I)
+        "u_mean": jnp.zeros((m, d), dtype),
+        "raw_u_scale": jnp.zeros((m, m), dtype)
+        + jnp.eye(m, dtype=dtype) * positive_inverse(
+            jnp.asarray(1.0, dtype)
+        ),
+    }
+
+
+def constrain(params):
+    raw = params["raw_u_scale"]
+    ls = jnp.tril(raw, -1) + jnp.diag(positive(jnp.diagonal(raw)))
+    return {
+        "qx_mean": params["qx_mean"],
+        "qx_var": positive_variational_var(params["raw_qx_var"]),
+        "z": params["z"],
+        "variance": positive(params["raw_variance"]),
+        "ard": positive(params["raw_ard"]),
+        "noise": positive_noise(params["raw_noise"]),
+        "u_mean": params["u_mean"],
+        "u_scale": ls,                # chol factor of whitened S
+    }
+
+
+def _whitened_terms(c, stats, policy):
+    """(a, A2, L) from SuffStats in whitened coordinates."""
+    kuu = dispatch.gram(c["variance"], c["ard"], c["z"])
+    L, _ = safe_cholesky(kuu, policy)
+    a = tri_solve(L, stats.psi1T_y)                    # (M, D)
+    half = tri_solve(L, stats.psi2)
+    A2 = tri_solve(L, half.T)                          # (M, M), symmetric
+    A2 = 0.5 * (A2 + A2.T)
+    return a, A2, L
+
+
+def _bound_from_stats(c, stats, kl_x, policy):
+    """Whitened Hensman bound given (possibly scaled) SuffStats and the
+    matching (possibly scaled) KL(q(X)) contribution."""
+    beta = 1.0 / c["noise"]
+    a, A2, L = _whitened_terms(c, stats, policy)
+    mu, ls = c["u_mean"], c["u_scale"]                 # (M, D), (M, M)
+    d = mu.shape[1]
+    s_diag_chol = jnp.diagonal(ls)
+
+    log2pi = jnp.log(2.0 * jnp.pi).astype(mu.dtype)
+    tr_sa2 = jnp.sum(
+        jnp.dot(A2, ls, precision=_HIGHEST) * ls
+    )                                                  # tr(S A2)
+    quad = jnp.sum(mu * jnp.dot(A2, mu, precision=_HIGHEST), axis=0)
+    # tr(S A2), psi0 and tr(A2) are the GP conditional-variance
+    # correction — identical for every output dim, so they appear once
+    # PER DIM in the bound:
+    shared = (
+        -0.5 * stats.n * (log2pi + jnp.log(c["noise"]))
+        - 0.5 * beta * (tr_sa2 + stats.psi0 - jnp.trace(A2))
+    )
+    per_dim = shared + (
+        -0.5 * beta * (stats.yty - 2.0 * jnp.sum(mu * a, axis=0) + quad)
+    )
+
+    kl_u = (
+        0.5 * jnp.sum(mu * mu)
+        + 0.5 * d * (
+            jnp.sum(ls * ls) - mu.shape[0]
+            - 2.0 * jnp.sum(jnp.log(s_diag_chol))
+        )
+    )
+    return jnp.sum(per_dim) - kl_u - kl_x
+
+
+def elbo_minibatch(
+    params, y_batch, idx, n_total: int, config: Config,
+    policy: JitterPolicy | None = None,
+):
+    """Unbiased minibatch estimate of the full-data ELBO.
+
+    y_batch: (B, D) rows of Y; idx: (B,) their row indices (for the q(X)
+    gather); n_total: static N. All row-sum terms (SuffStats and the
+    batch rows' KL(q(X))) scale by N/B.
+    """
+    policy = policy or JitterPolicy()
+    if config.fast_chol:
+        policy = policy._replace(max_tries=0)
+    c = constrain(params)
+    mu_b = c["qx_mean"][idx]
+    s_b = c["qx_var"][idx]
+    scale = jnp.asarray(n_total / y_batch.shape[0], y_batch.dtype)
+    stats = dispatch.suff_stats(
+        c["variance"], c["ard"], mu_b, s_b, c["z"], y_batch,
+        block_n=config.psi2_block, use_pallas=config.use_pallas,
+        kernel=config.kernel,
+    )
+    stats = stats._replace(
+        psi0=stats.psi0 * scale,
+        psi1T_y=stats.psi1T_y * scale,
+        psi2=stats.psi2 * scale,
+        yty=stats.yty * scale,
+        n=stats.n * scale,
+    )
+    kl_x = scale * gaussian.kl_to_standard_normal(mu_b, s_b)
+    return _bound_from_stats(c, stats, kl_x, policy)
+
+
+def elbo(params, Y, config: Config, policy: JitterPolicy | None = None):
+    """Full-batch whitened Hensman bound (testing / small N)."""
+    policy = policy or JitterPolicy()
+    if config.fast_chol:
+        policy = policy._replace(max_tries=0)
+    c = constrain(params)
+    stats = dispatch.suff_stats(
+        c["variance"], c["ard"], c["qx_mean"], c["qx_var"], c["z"], Y,
+        block_n=config.psi2_block, use_pallas=config.use_pallas,
+        kernel=config.kernel,
+    )
+    kl_x = gaussian.kl_to_standard_normal(c["qx_mean"], c["qx_var"])
+    return _bound_from_stats(c, stats, kl_x, policy)
+
+
+def loss(params, Y, config: Config):
+    return -elbo(params, Y, config)
+
+
+def loss_minibatch(params, y_batch, idx, n_total: int, config: Config):
+    return -elbo_minibatch(params, y_batch, idx, n_total, config)
+
+
+def optimal_qu(params, Y, config: Config, policy: JitterPolicy | None = None):
+    """Closed-form optimal whitened q(u) at FULL-batch statistics:
+    S* = (I + beta A2)^{-1}, m* = beta S* a. Returns (m*, chol(S*))."""
+    policy = policy or JitterPolicy()
+    c = constrain(params)
+    stats = dispatch.suff_stats(
+        c["variance"], c["ard"], c["qx_mean"], c["qx_var"], c["z"], Y,
+        block_n=config.psi2_block, use_pallas=config.use_pallas,
+        kernel=config.kernel,
+    )
+    beta = 1.0 / c["noise"]
+    a, A2, _ = _whitened_terms(c, stats, policy)
+    m = A2.shape[0]
+    # B = I + beta A2 has eigenvalues >= 1 — always PD, so chol it
+    # UNJITTERED: the oracle identity (Hensman(m*, S*) == collapsed
+    # bound) needs S* to invert exactly the B the bound's terms imply;
+    # a jittered inverse leaves an O(jitter)-relative gap.
+    B = jnp.eye(m, dtype=A2.dtype) + beta * A2
+    LB = jnp.linalg.cholesky(B)
+    eye = jnp.eye(m, dtype=A2.dtype)
+    b_inv = tri_solve(LB, eye)
+    s_star = jnp.dot(b_inv.T, b_inv, precision=_HIGHEST)   # B^{-1}
+    ls_star = jnp.linalg.cholesky(s_star)
+    m_star = beta * jnp.dot(s_star, a, precision=_HIGHEST)
+    return m_star, ls_star
+
+
+def set_optimal_qu(params, Y, config: Config):
+    """Return params with q(u) set to the full-batch optimum (useful as
+    a warm start and for the collapsed-bound equality oracle)."""
+    m_star, ls_star = optimal_qu(params, Y, config)
+    diag = jnp.diagonal(ls_star)
+    raw = jnp.tril(ls_star, -1) + jnp.diag(positive_inverse(diag))
+    return {**params, "u_mean": m_star, "raw_u_scale": raw}
+
+
+def predict_from_latent(params, x_mean, x_var, config: Config,
+                        policy: JitterPolicy | None = None):
+    """Predictive mean/variance at q(x*) = N(x_mean, diag(x_var)) rows,
+    directly from the explicit q(u) (no training data needed)."""
+    policy = policy or JitterPolicy()
+    c = constrain(params)
+    kuu = dispatch.gram(c["variance"], c["ard"], c["z"])
+    L, _ = safe_cholesky(kuu, policy)
+    p0, p1, p2 = dispatch.psi_stats(
+        c["variance"], c["ard"], x_mean, x_var, c["z"],
+        use_pallas=False, kernel=config.kernel,
+    )
+    # whitened feature: phi_n = L^{-1} psi1_n   (per row)
+    phi = tri_solve(L, p1.T).T                       # (N*, M)
+    mean = jnp.dot(phi, c["u_mean"], precision=_HIGHEST)
+    ls = c["u_scale"]
+    mu_u = c["u_mean"]
+
+    # Psi-moment predictive variance (exact under q(x*)):
+    #   Var_nd = sigma^2 + E[k_nn] - tr(A2_n) + tr(S A2_n)
+    #            + m_d^T A2_n m_d - (phi_n^T m_d)^2
+    # with A2_n = L^{-1} Psi2_n L^{-T} the per-row second-moment tile.
+    def row_pieces(mu_n, s_n):
+        _, _, p2n = dispatch.psi_stats(
+            c["variance"], c["ard"], mu_n[None], s_n[None], c["z"],
+            use_pallas=False, kernel=config.kernel,
+        )
+        half = tri_solve(L, p2n)
+        a2n = tri_solve(L, half.T)                   # (M, M)
+        t_s = jnp.sum(jnp.dot(a2n, ls, precision=_HIGHEST) * ls)
+        t_m = jnp.sum(
+            mu_u * jnp.dot(a2n, mu_u, precision=_HIGHEST), axis=0
+        )                                            # (D,)
+        return t_s - jnp.trace(a2n), t_m
+
+    gp_var, m_quad = jax.vmap(row_pieces)(x_mean, x_var)  # (N*,), (N*, D)
+    k_diag = c["variance"] * jnp.ones_like(gp_var)   # E[k_nn] for ARD-RBF
+    var = (
+        (k_diag + gp_var)[:, None] + m_quad - mean * mean + c["noise"]
+    )
+    return mean, var
+
+
+def make_svi_step(config: Config, n_total: int, optimizer):
+    """One jitted SVI step: sample a batch (with replacement), estimate
+    the ELBO gradient, update. Returns step(state, rng, Y) -> (state,
+    metrics); Y stays resident on device, rows are gathered by index."""
+    import optax
+
+    from dp_gp_lvm_tpu.train.loop import TrainState
+
+    def step(state: TrainState, rng, Y):
+        idx = jax.random.randint(rng, (config.batch,), 0, n_total)
+        y_b = Y[idx]
+        loss_v, grads = jax.value_and_grad(
+            lambda p: loss_minibatch(p, y_b, idx, n_total, config)
+        )(state.params)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {"loss": loss_v, "elbo_estimate": -loss_v},
+        )
+
+    return jax.jit(step)

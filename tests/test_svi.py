@@ -1,0 +1,107 @@
+"""SVI-GPLVM (uncollapsed Hensman bound, models/svi_gplvm.py).
+
+Oracles:
+  1. At the closed-form optimal whitened q(u), the Hensman bound EQUALS
+     the Titsias collapsed bound (bgplvm.elbo) — exact identity.
+  2. At any other q(u) it is strictly below (u is an explicit
+     variational distribution the collapsed bound optimizes out).
+  3. The minibatch estimator over a disjoint partition averages to the
+     full-batch bound exactly (row terms are linear in the row sums).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dp_gp_lvm_tpu.data import synthetic
+from dp_gp_lvm_tpu.models import bgplvm, svi_gplvm
+from dp_gp_lvm_tpu.train.loop import gp_optimizer, init_state
+
+
+def _setup(n=48, d=5, q=2, m=8):
+    Y, _ = synthetic.toy_gplvm(jax.random.PRNGKey(0), n=n, d=d, q_true=2,
+                               q_total=q)
+    cfg = svi_gplvm.Config(num_latent=q, num_inducing=m, batch=16)
+    params = svi_gplvm.init_params(jax.random.PRNGKey(1), Y, cfg)
+    return Y, cfg, params
+
+
+def _collapsed_elbo(params, Y, cfg):
+    bcfg = bgplvm.Config(num_latent=cfg.num_latent,
+                         num_inducing=cfg.num_inducing)
+    bparams = {k: params[k] for k in (
+        "qx_mean", "raw_qx_var", "z", "raw_variance", "raw_ard",
+        "raw_noise",
+    )}
+    return float(bgplvm.elbo(bparams, Y, bcfg))
+
+
+def test_optimal_qu_recovers_collapsed_bound():
+    Y, cfg, params = _setup()
+    params = svi_gplvm.set_optimal_qu(params, Y, cfg)
+    svi = float(svi_gplvm.elbo(params, Y, cfg))
+    collapsed = _collapsed_elbo(params, Y, cfg)
+    # rtol floor: collapsed_bound's safe_cholesky jitters B by 1e-6,
+    # the whitened bound's logdet S* is unjittered — O(M*jitter/|F|)
+    # ~ 1e-8 relative is inherent, anything above 1e-6 is a bug
+    np.testing.assert_allclose(svi, collapsed, rtol=1e-6)
+
+
+def test_suboptimal_qu_is_below_collapsed_bound():
+    Y, cfg, params = _setup()
+    collapsed = _collapsed_elbo(params, Y, cfg)
+    # init q(u) = prior (m=0, S=I): valid but suboptimal
+    svi = float(svi_gplvm.elbo(params, Y, cfg))
+    assert svi < collapsed - 1.0, (svi, collapsed)
+    # perturbed optimum also below
+    p2 = svi_gplvm.set_optimal_qu(params, Y, cfg)
+    p2 = {**p2, "u_mean": p2["u_mean"] + 0.1}
+    svi2 = float(svi_gplvm.elbo(p2, Y, cfg))
+    assert svi2 < collapsed, (svi2, collapsed)
+
+
+def test_minibatch_partition_averages_to_full_bound():
+    Y, cfg, params = _setup(n=48)
+    params = svi_gplvm.set_optimal_qu(params, Y, cfg)
+    full = float(svi_gplvm.elbo(params, Y, cfg))
+    n, b = Y.shape[0], cfg.batch
+    ests = []
+    for start in range(0, n, b):
+        idx = jnp.arange(start, start + b)
+        ests.append(float(svi_gplvm.elbo_minibatch(
+            params, Y[idx], idx, n, cfg
+        )))
+    np.testing.assert_allclose(np.mean(ests), full, rtol=1e-10)
+
+
+def test_svi_training_improves_full_elbo():
+    Y, cfg, params = _setup()
+    n = Y.shape[0]
+    opt = gp_optimizer(params, lr=2e-2, ngd_lr=0.5)
+    step = svi_gplvm.make_svi_step(cfg, n, opt)
+    state = init_state(params, opt)
+    e0 = float(svi_gplvm.elbo(state.params, Y, cfg))
+    rng = jax.random.PRNGKey(3)
+    for k in range(200):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, sub, Y)
+    e1 = float(svi_gplvm.elbo(state.params, Y, cfg))
+    assert np.isfinite(e1)
+    assert e1 > e0 + 1.0, (e0, e1)
+
+
+def test_predict_from_latent_sane():
+    """Predictions at the TRAINING latents with a well-fit q(u) track the
+    data; variances positive and finite."""
+    Y, cfg, params = _setup()
+    params = svi_gplvm.set_optimal_qu(params, Y, cfg)
+    c = svi_gplvm.constrain(params)
+    mean, var = svi_gplvm.predict_from_latent(
+        params, c["qx_mean"], c["qx_var"], cfg
+    )
+    assert mean.shape == Y.shape and var.shape == Y.shape
+    assert bool(jnp.all(jnp.isfinite(mean)))
+    assert bool(jnp.all(var > 0))
+    # better than predicting the column means
+    base = float(jnp.mean((Y - Y.mean(axis=0)) ** 2))
+    mse = float(jnp.mean((mean - Y) ** 2))
+    assert mse < 0.7 * base, (mse, base)
