@@ -301,3 +301,62 @@ def mrd_elbo_sharded(
 
 def mrd_loss_sharded(params, Ys, config, mesh):
     return -mrd_elbo_sharded(params, Ys, config, mesh)
+
+
+def svi_elbo_sharded(
+    params, y_batch, idx, n_total: int, config, mesh: Mesh,
+    policy: JitterPolicy = JitterPolicy(),
+):
+    """Data-parallel minibatch SVI-GPLVM (models/svi_gplvm.py): the batch
+    rows (and their latent indices) shard over "data"; the full-N q(X)
+    table, q(u), and hypers replicate. Each device computes its shard's
+    partial SuffStats, ONE psum forms the global batch statistics, and
+    the whitened Hensman bound evaluates replicated. Gradients w.r.t.
+    the replicated q(X) table flow through the local gathers (shard_map
+    transposes replicated-input cotangents with a psum), so sharded
+    minibatch training matches single-device exactly — and the two scale
+    axes multiply: rows/step = batch x devices, each at O(B_local M^2).
+    """
+    from dp_gp_lvm_tpu.models import svi_gplvm as svi
+
+    b_total = y_batch.shape[0]
+
+    def program(p, y_b, ix):
+        c = svi.constrain(p)
+        mu_b = c["qx_mean"][ix]
+        s_b = c["qx_var"][ix]
+        stats = dispatch.suff_stats(
+            c["variance"], c["ard"], mu_b, s_b, c["z"], y_b,
+            block_n=config.psi2_block,
+            use_pallas=_resolve_pallas(
+                config.use_pallas, config.kernel, 1, mu_b.shape[0],
+                c["z"].shape[0],
+            ),
+            kernel=config.kernel,
+        )
+        stats = _psum_stats(stats, DATA_AXIS)
+        scale = jnp.asarray(n_total / b_total, y_b.dtype)
+        stats = stats._replace(
+            psi0=stats.psi0 * scale,
+            psi1T_y=stats.psi1T_y * scale,
+            psi2=stats.psi2 * scale,
+            yty=stats.yty * scale,
+            n=stats.n * scale,
+        )
+        kl_x = scale * jax.lax.psum(
+            gaussian.kl_to_standard_normal(mu_b, s_b), DATA_AXIS
+        )
+        return svi._bound_from_stats(c, stats, kl_x, policy)
+
+    sharded = jax.shard_map(
+        program,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return sharded(params, y_batch, idx)
+
+
+def svi_loss_sharded(params, y_batch, idx, n_total, config, mesh):
+    return -svi_elbo_sharded(params, y_batch, idx, n_total, config, mesh)

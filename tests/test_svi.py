@@ -105,3 +105,35 @@ def test_predict_from_latent_sane():
     base = float(jnp.mean((Y - Y.mean(axis=0)) ** 2))
     mse = float(jnp.mean((mean - Y) ** 2))
     assert mse < 0.7 * base, (mse, base)
+
+
+def test_svi_sharded_matches_single_device():
+    """Sharded minibatch SVI (parallel/sharded_elbo.svi_elbo_sharded)
+    equals elbo_minibatch — values and gradients — on the 8-device mesh."""
+    from dp_gp_lvm_tpu.parallel import mesh as mesh_lib
+    from dp_gp_lvm_tpu.parallel.sharded_elbo import (
+        svi_elbo_sharded,
+        svi_loss_sharded,
+    )
+
+    Y, cfg, params = _setup(n=64)
+    params = svi_gplvm.set_optimal_qu(params, Y, cfg)
+    n = Y.shape[0]
+    idx = jnp.arange(0, 32)
+    y_b = Y[idx]
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    single = float(svi_gplvm.elbo_minibatch(params, y_b, idx, n, cfg))
+    sharded = float(svi_elbo_sharded(params, y_b, idx, n, cfg, mesh))
+    np.testing.assert_allclose(sharded, single, rtol=1e-9)
+    g1 = jax.grad(
+        lambda p: svi_gplvm.loss_minibatch(p, y_b, idx, n, cfg)
+    )(params)
+    g2 = jax.grad(
+        lambda p: svi_loss_sharded(p, y_b, idx, n, cfg, mesh)
+    )(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-9
+        )
