@@ -312,3 +312,106 @@ def make_svi_step(config: Config, n_total: int, optimizer):
         )
 
     return jax.jit(step)
+
+
+def infer_latent(
+    params, y_star, mask, m_init, config: Config,
+    num_steps: int = 200, lr: float = 0.05, tol: float | None = None,
+    policy: JitterPolicy | None = None,
+):
+    """Optimize q(x*) = N(m*, diag(s*)) for new rows against the masked
+    expected log-likelihood under the explicit q(u) — the SVI analogue
+    of prediction.infer_latent (same Adam-in-scan machinery, including
+    tol early stopping). mask is (N*, D), 1 = observed."""
+    from dp_gp_lvm_tpu.models.prediction import _fit_variational
+
+    policy = policy or JitterPolicy()
+    c = constrain(params)
+    kuu = dispatch.gram(c["variance"], c["ard"], c["z"])
+    L, _ = safe_cholesky(kuu, policy)
+    mu_u, ls = c["u_mean"], c["u_scale"]
+    beta = 1.0 / c["noise"]
+    log2pi = jnp.log(2.0 * jnp.pi).astype(y_star.dtype)
+    dtype = y_star.dtype
+    var_params = {
+        "m": m_init.astype(dtype),
+        "raw_s": positive_inverse(0.1 * jnp.ones_like(m_init)).astype(dtype),
+    }
+
+    def objective(vp):
+        s = positive_variational_var(vp["raw_s"])
+        p0, p1, p2 = dispatch.psi_stats(
+            c["variance"], c["ard"], vp["m"], s, c["z"],
+            use_pallas=False, kernel=config.kernel,
+        )
+        phi = tri_solve(L, p1.T).T                     # (N*, M)
+        f_mean = jnp.dot(phi, mu_u, precision=_HIGHEST)  # (N*, D)
+        # per-row second-moment tile contractions (masked rows only pay
+        # for observed dims via the mask weights below)
+        def row_pieces(mu_n, s_n):
+            _, _, p2n = dispatch.psi_stats(
+                c["variance"], c["ard"], mu_n[None], s_n[None], c["z"],
+                use_pallas=False, kernel=config.kernel,
+            )
+            half = tri_solve(L, p2n)
+            a2n = tri_solve(L, half.T)
+            t_s = jnp.sum(jnp.dot(a2n, ls, precision=_HIGHEST) * ls)
+            t_m = jnp.sum(
+                mu_u * jnp.dot(a2n, mu_u, precision=_HIGHEST), axis=0
+            )
+            return t_s - jnp.trace(a2n), t_m
+
+        gp_var, m_quad = jax.vmap(row_pieces)(vp["m"], s)
+        # E[(y - f)^2] = y^2 - 2 y E[f] + E[f^2];  E[f^2] = m_quad +
+        # (tr(S A2_n) added once per dim) ... per (n, d):
+        sq = (
+            y_star * y_star - 2.0 * y_star * f_mean + m_quad
+            + (gp_var + c["variance"])[:, None]
+            # E[k_nn] - tr(A2_n) + tr(S A2_n) is the conditional-var
+            # correction, identical across dims (added via gp_var +
+            # variance above; note m_quad already holds m^T A2_n m)
+        )
+        ell = jnp.sum(
+            mask * (-0.5 * (log2pi + jnp.log(c["noise"])) - 0.5 * beta * sq)
+        )
+        kl = gaussian.kl_to_standard_normal(
+            vp["m"], s
+        )
+        return -(ell - kl)
+
+    vp, trace, _ = _fit_variational(objective, var_params, num_steps, lr, tol)
+    return vp["m"], positive_variational_var(vp["raw_s"]), -trace
+
+
+def impute(
+    params, y_star, mask, config: Config,
+    num_steps: int = 200, lr: float = 0.05, tol: float | None = None,
+):
+    """Missing-data pipeline for SVI-GPLVM: infer q(x*) from observed
+    dims, predict all dims from q(u). Returns (mean, var, m*, s*,
+    objective trace)."""
+    m0 = _nearest_latent_init(params, y_star, mask, config)
+    m_s, s_s, trace = infer_latent(
+        params, y_star, mask, m0, config, num_steps, lr, tol
+    )
+    mean, var = predict_from_latent(params, m_s, s_s, config)
+    return mean, var, m_s, s_s, trace
+
+
+def _nearest_latent_init(params, y_star, mask, config: Config):
+    """Init q(x*) means from the training latent whose q(u)-predicted
+    mean best matches the observed dims. O(N_sub M) with an N-capped
+    subsample of the latent table (no training Y needed — SVI serves
+    from q(u) alone)."""
+    c = constrain(params)
+    qx = c["qx_mean"]
+    n = qx.shape[0]
+    take = jnp.arange(0, n, max(1, n // 4096))     # cap the candidate set
+    cand = qx[take]
+    cand_var = c["qx_var"][take]
+    mean, _ = predict_from_latent(params, cand, cand_var, config)
+    d2 = jnp.sum(
+        ((y_star[:, None, :] - mean[None, :, :]) ** 2) * mask[:, None, :],
+        axis=-1,
+    )
+    return cand[jnp.argmin(d2, axis=1)]

@@ -137,3 +137,35 @@ def test_svi_sharded_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-9
         )
+
+
+def test_svi_impute_beats_mean_baseline():
+    """Train (closed-form q(u) at fitted latents suffices on the toy),
+    hold out half the dims of unseen-ish rows, impute from q(u) alone —
+    no training data at serving time."""
+    Y, cfg, params = _setup(n=48, d=6)
+    n = Y.shape[0]
+    # quick fit: optimize everything a little, then exact q(u)
+    opt = gp_optimizer(params, lr=2e-2, ngd_lr=0.5)
+    step = svi_gplvm.make_svi_step(cfg, n, opt)
+    state = init_state(params, opt)
+    rng = jax.random.PRNGKey(5)
+    for _ in range(300):
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, sub, Y)
+    params = svi_gplvm.set_optimal_qu(state.params, Y, cfg)
+
+    y_star = Y[::7]
+    d = Y.shape[1]
+    mask = jnp.ones_like(y_star).at[:, d // 2 :].set(0.0)
+    mean, var, m_s, s_s, trace = svi_gplvm.impute(
+        params, y_star, mask, cfg, num_steps=150
+    )
+    miss = 1.0 - mask
+    mse = float(jnp.sum(((mean - y_star) ** 2) * miss) / jnp.sum(miss))
+    base = float(
+        jnp.sum(((Y.mean(axis=0) - y_star) ** 2) * miss) / jnp.sum(miss)
+    )
+    assert np.isfinite(mse)
+    assert mse < 0.5 * base, (mse, base)
+    assert bool(jnp.all(var > 0))
