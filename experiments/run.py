@@ -154,6 +154,31 @@ def main():
         params = init_fn(rng)
         loss_fn = lambda p, y: dp_gp_lvm.loss(p, y, mcfg)
         terms_fn = lambda p: dp_gp_lvm.elbo_terms(p, data[0], mcfg)
+    elif cfg.model == "svi_gplvm":
+        from dp_gp_lvm_tpu.models import svi_gplvm
+
+        mcfg = svi_gplvm.Config(num_latent=cfg.q, num_inducing=cfg.m,
+                                batch=1024, psi2_block=cfg.psi2_block)
+        if cfg.missing_fraction > 0:
+            # same clean protocol as config 5: strided interpolation
+            # holdout, train-only standardization
+            import numpy as _np
+
+            Y_all = _np.asarray(data[0])
+            keep = _np.ones(Y_all.shape[0], bool)
+            keep[7::8] = False
+            Y_train_np, Y_test_np = Y_all[keep], Y_all[~keep]
+            mu_tr = Y_train_np.mean(axis=0)
+            sd_tr = Y_train_np.std(axis=0) + 1e-8
+            Y_train = jnp.asarray((Y_train_np - mu_tr) / sd_tr, dtype)
+            Y_test = jnp.asarray((Y_test_np - mu_tr) / sd_tr, dtype)
+            # hold the imputation metric to a bounded row count
+            Y_test = Y_test[:256]
+            data = (Y_train,)
+        init_fn = lambda k: svi_gplvm.init_params(k, data[0], mcfg)
+        params = init_fn(rng)
+        loss_fn = None          # stochastic: custom minibatch loop below
+        terms_fn = lambda p: {"elbo": svi_gplvm.elbo(p, data[0], mcfg)}
     else:
         raise ValueError(cfg.model)
 
@@ -166,7 +191,75 @@ def main():
     ngd_lr = args.ngd_lr if args.ngd_lr is not None else cfg.ngd_lr
     optimizer = gp_optimizer(params, lr=cfg.lr, decay_steps=steps,
                              ngd_lr=ngd_lr)
-    step_fn = make_step_fn(loss_fn, optimizer, donate=False)
+
+    if cfg.model == "svi_gplvm":
+        # stochastic minibatch loop: CHUNK steps per dispatch via
+        # lax.scan with per-step rng (pattern of experiments/svi_scale.py)
+        import optax as _optax
+
+        from dp_gp_lvm_tpu.models import svi_gplvm
+        from dp_gp_lvm_tpu.train.loop import TrainState
+
+        Y_res = data[0]
+        n_total = Y_res.shape[0]
+        # minibatch steps are ~1 ms; a small chunk makes the host
+        # round-trip the bottleneck. Floor the scan length at 250.
+        chunk = max(1, min(max(args.log_every, 250), steps))
+
+        def one(state, step_rng):
+            b_idx = jax.random.randint(
+                step_rng, (mcfg.batch,), 0, n_total
+            )
+            y_b = Y_res[b_idx]
+            loss_v, grads = jax.value_and_grad(
+                lambda p: svi_gplvm.loss_minibatch(
+                    p, y_b, b_idx, n_total, mcfg
+                )
+            )(state.params)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_p = optax.apply_updates(state.params, updates)
+            return TrainState(new_p, opt_state, state.step + 1), loss_v
+
+        @jax.jit
+        def svi_multi(state, chunk_rng):
+            return jax.lax.scan(
+                one, state, jax.random.split(chunk_rng, chunk)
+            )
+
+        state = init_state(params, optimizer)
+        rng_run = jax.random.PRNGKey(cfg.seed + 100)
+        t0 = time.time()
+        done = 0
+        t_post = None
+        while done < steps:
+            rng_run, sub = jax.random.split(rng_run)
+            state, losses = svi_multi(state, sub)
+            jax.block_until_ready(losses)
+            if t_post is None:
+                t_post = time.time()   # exclude the compile chunk
+            done += chunk
+            elbo_now = -float(losses[-1])
+            logger.log(done - 1, elbo_estimate=elbo_now)
+            print(f"  step {done - 1}: elbo_estimate={elbo_now:.4g}",
+                  flush=True)
+        total = time.time() - t0
+        per_step = (time.time() - t_post) / max(1, done - chunk)
+        restart_elbos = []
+        print(f"[{cfg.name}] done in {total:.1f}s; "
+              f"{per_step*1e3:.2f} ms/step (post-compile), "
+              f"{round(mcfg.batch / max(per_step, 1e-9))} rows/s",
+              flush=True)
+        result_extra = {
+            "batch": mcfg.batch,
+            "rows_per_sec": round(mcfg.batch / max(per_step, 1e-9)),
+        }
+    else:
+        result_extra = {}
+
+    step_fn = make_step_fn(loss_fn, optimizer, donate=False) \
+        if loss_fn is not None else None
 
     ck = ckpt_lib.Checkpointer(os.path.join(out_dir, "ckpt")) \
         if args.ckpt_every else None
@@ -174,7 +267,8 @@ def main():
     # (interactive dispatch to the tunneled TPU costs ~1s per call; the
     # reference-style step-per-session.run loop would be latency-bound)
     chunk = max(1, min(args.log_every, steps))
-    multi_step = make_multi_step_fn(loss_fn, optimizer, num_inner=chunk)
+    multi_step = make_multi_step_fn(loss_fn, optimizer, num_inner=chunk) \
+        if loss_fn is not None else None
 
     def train_from(p0, label=""):
         state = init_state(p0, optimizer)
@@ -194,30 +288,34 @@ def main():
     # optimum kills cross-view transfer) train from cfg.restarts init
     # seeds; keep the best final ELBO. The compiled multi_step is reused
     # across restarts — only the first pays the compile.
-    t0 = time.time()
-    state, best_elbo = train_from(params, " [r0]" if cfg.restarts > 1 else "")
-    restart_elbos = [best_elbo]
-    for r in range(1, cfg.restarts):
-        p_r = init_fn(jax.random.PRNGKey(cfg.seed + r))
-        state_r, elbo_r = train_from(p_r, f" [r{r}]")
-        restart_elbos.append(elbo_r)
-        if elbo_r > best_elbo:
-            state, best_elbo = state_r, elbo_r
-    total = time.time() - t0
-    if cfg.restarts > 1:
-        print(f"[{cfg.name}] restart elbos: "
-              f"{[round(e, 2) for e in restart_elbos]} -> best "
-              f"{best_elbo:.2f}", flush=True)
-    per_step, state = time_steps(step_fn, state, data, num_steps=10)
-    print(f"[{cfg.name}] done in {total:.1f}s; "
-          f"{per_step*1e3:.2f} ms/step (post-compile)", flush=True)
+    if cfg.model != "svi_gplvm":
+        t0 = time.time()
+        state, best_elbo = train_from(
+            params, " [r0]" if cfg.restarts > 1 else ""
+        )
+        restart_elbos = [best_elbo]
+        for r in range(1, cfg.restarts):
+            p_r = init_fn(jax.random.PRNGKey(cfg.seed + r))
+            state_r, elbo_r = train_from(p_r, f" [r{r}]")
+            restart_elbos.append(elbo_r)
+            if elbo_r > best_elbo:
+                state, best_elbo = state_r, elbo_r
+        total = time.time() - t0
+        if cfg.restarts > 1:
+            print(f"[{cfg.name}] restart elbos: "
+                  f"{[round(e, 2) for e in restart_elbos]} -> best "
+                  f"{best_elbo:.2f}", flush=True)
+        per_step, state = time_steps(step_fn, state, data, num_steps=10)
+        print(f"[{cfg.name}] done in {total:.1f}s; "
+              f"{per_step*1e3:.2f} ms/step (post-compile)", flush=True)
 
     # ---- final metrics & export ------------------------------------------
     terms = {k: float(v) for k, v in terms_fn(state.params).items()
              if jnp.ndim(v) == 0}
     result = {"config": cfg.name, "data": tag, "steps": steps,
               "seconds": round(total, 2),
-              "ms_per_step": round(per_step * 1e3, 3), **terms}
+              "ms_per_step": round(per_step * 1e3, 3), **terms,
+              **result_extra}
     if cfg.restarts > 1:
         result["restart_elbos"] = [round(e, 3) for e in restart_elbos]
 
@@ -288,6 +386,30 @@ def main():
         result["imputation_rows"] = int(Y_test.shape[0])
         print(f"[{cfg.name}] imputation mse={mse:.4f} pll={pll:.4f} "
               f"({imp_s:.2f}s for {Y_test.shape[0]} rows)", flush=True)
+
+    if cfg.model == "svi_gplvm" and cfg.missing_fraction > 0:
+        from dp_gp_lvm_tpu.models import svi_gplvm
+
+        d = Y_test.shape[1]
+        n_miss = int(d * cfg.missing_fraction)
+        mask = jnp.ones((Y_test.shape[0], d), dtype).at[:, -n_miss:].set(0.0)
+        t_imp = time.time()
+        mean, var, *_ = svi_gplvm.impute(
+            state.params, Y_test, mask, mcfg, num_steps=200
+        )
+        jax.block_until_ready(mean)
+        imp_s = time.time() - t_imp
+        miss = 1.0 - mask
+        mse = float(jnp.sum(((mean - Y_test) ** 2) * miss) / jnp.sum(miss))
+        pll = float(prediction.gaussian_predictive_loglik(
+            Y_test, mean, var, miss) / jnp.sum(miss))
+        result["imputation_mse"] = mse
+        result["predictive_loglik_per_dim"] = pll
+        result["imputation_seconds"] = round(imp_s, 3)
+        result["imputation_rows"] = int(Y_test.shape[0])
+        print(f"[{cfg.name}] imputation mse={mse:.4f} pll={pll:.4f} "
+              f"({imp_s:.2f}s for {Y_test.shape[0]} rows, served from "
+              f"q(u) alone)", flush=True)
 
     from dp_gp_lvm_tpu.train.checkpoint import export_npz
 
