@@ -415,3 +415,109 @@ def _nearest_latent_init(params, y_star, mask, config: Config):
         axis=-1,
     )
     return cand[jnp.argmin(d2, axis=1)]
+
+
+def _natural_from_params(c):
+    """Whitened q(u) natural parameters from constrained values:
+    Lambda = S^{-1} (via triangular inverse of the chol factor),
+    h = Lambda m."""
+    ls = c["u_scale"]
+    m = ls.shape[0]
+    eye = jnp.eye(m, dtype=ls.dtype)
+    ls_inv = tri_solve(ls, eye)                     # Ls^{-1}
+    lam = jnp.dot(ls_inv.T, ls_inv, precision=_HIGHEST)   # S^{-1}
+    h = jnp.dot(lam, c["u_mean"], precision=_HIGHEST)
+    return h, lam
+
+
+def _params_from_natural(h, lam):
+    """(u_mean, raw_u_scale) from natural parameters: S = Lambda^{-1}
+    via cholesky, m = S h. Lambda is PD by construction (a convex
+    combination of PD matrices)."""
+    m = lam.shape[0]
+    l_lam = jnp.linalg.cholesky(0.5 * (lam + lam.T))
+    eye = jnp.eye(m, dtype=lam.dtype)
+    l_inv = tri_solve(l_lam, eye)
+    s = jnp.dot(l_inv.T, l_inv, precision=_HIGHEST)       # Lambda^{-1}
+    ls = jnp.linalg.cholesky(0.5 * (s + s.T))
+    u_mean = jnp.dot(s, h, precision=_HIGHEST)
+    diag = jnp.diagonal(ls)
+    raw = jnp.tril(ls, -1) + jnp.diag(positive_inverse(diag))
+    return u_mean, raw
+
+
+def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
+                          rho: float = 0.2,
+                          policy: JitterPolicy | None = None):
+    """SVI step with Hoffman-style stochastic NATURAL-gradient q(u)
+    updates (the canonical accelerator for this bound): hypers, inducing
+    inputs, and q(X) update by gradient (optax; q(X) itself can take
+    ngd via gp_optimizer), while q(u)'s natural parameters blend toward
+    the closed-form optimum implied by the (N/B)-scaled batch
+    statistics,
+
+        Lambda <- (1-rho) Lambda + rho (I + beta A2_hat)
+        h      <- (1-rho) h      + rho (beta a_hat),
+
+    which IS the natural gradient step of length rho on the whitened
+    q(u) — no Fisher solves, just the already-computed whitened stats.
+    The q(u) leaves are masked out of the optax update (their 'gradient
+    step' is the blend). Returns jitted step(state, rng, Y)."""
+    import optax
+
+    from dp_gp_lvm_tpu.train.loop import TrainState
+
+    policy = policy or JitterPolicy()
+
+    def step(state: TrainState, rng, Y):
+        idx = jax.random.randint(rng, (config.batch,), 0, n_total)
+        y_b = Y[idx]
+
+        loss_v, grads = jax.value_and_grad(
+            lambda p: loss_minibatch(p, y_b, idx, n_total, config)
+        )(state.params)
+        # q(u) moves by natural gradient, not optax
+        grads = {
+            **grads,
+            "u_mean": jnp.zeros_like(grads["u_mean"]),
+            "raw_u_scale": jnp.zeros_like(grads["raw_u_scale"]),
+        }
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+
+        # natural-gradient blend toward the batch-optimal q(u) at the
+        # UPDATED hypers/latents (Hoffman SVI ordering)
+        c = constrain(params)
+        mu_b = c["qx_mean"][idx]
+        s_b = c["qx_var"][idx]
+        scale = jnp.asarray(n_total / y_b.shape[0], y_b.dtype)
+        stats = dispatch.suff_stats(
+            c["variance"], c["ard"], mu_b, s_b, c["z"], y_b,
+            block_n=config.psi2_block, use_pallas=config.use_pallas,
+            kernel=config.kernel,
+        )
+        stats = stats._replace(
+            psi0=stats.psi0 * scale, psi1T_y=stats.psi1T_y * scale,
+            psi2=stats.psi2 * scale, yty=stats.yty * scale,
+            n=stats.n * scale,
+        )
+        beta = 1.0 / c["noise"]
+        a, A2, _ = _whitened_terms(c, stats, policy)
+        m = A2.shape[0]
+        lam_hat = jnp.eye(m, dtype=A2.dtype) + beta * A2
+        h_hat = beta * a
+        h, lam = _natural_from_params(c)
+        lam_new = (1.0 - rho) * lam + rho * lam_hat
+        h_new = (1.0 - rho) * h + rho * h_hat
+        u_mean, raw_u_scale = _params_from_natural(h_new, lam_new)
+        params = {**params, "u_mean": u_mean,
+                  "raw_u_scale": raw_u_scale}
+
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {"loss": loss_v, "elbo_estimate": -loss_v},
+        )
+
+    return jax.jit(step)
