@@ -206,21 +206,16 @@ def main():
         # round-trip the bottleneck. Floor the scan length at 250.
         chunk = max(1, min(max(args.log_every, 250), steps))
 
+        # q(u) by stochastic natural gradient (measured ahead of Adam
+        # at this scale for every rho in 0.05-0.5 —
+        # results/svi_natgrad.json); hypers/latents by gradient.
+        nat_step = svi_gplvm.make_svi_natgrad_step(
+            mcfg, n_total, optimizer, rho=0.2
+        )
+
         def one(state, step_rng):
-            b_idx = jax.random.randint(
-                step_rng, (mcfg.batch,), 0, n_total
-            )
-            y_b = Y_res[b_idx]
-            loss_v, grads = jax.value_and_grad(
-                lambda p: svi_gplvm.loss_minibatch(
-                    p, y_b, b_idx, n_total, mcfg
-                )
-            )(state.params)
-            updates, opt_state = optimizer.update(
-                grads, state.opt_state, state.params
-            )
-            new_p = optax.apply_updates(state.params, updates)
-            return TrainState(new_p, opt_state, state.step + 1), loss_v
+            state, metrics = nat_step(state, step_rng, Y_res)
+            return state, metrics["loss"]
 
         @jax.jit
         def svi_multi(state, chunk_rng):
