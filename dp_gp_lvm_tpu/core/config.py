@@ -172,7 +172,7 @@ def evaluate_checks(name: str, result: dict) -> list[str]:
     """Return a list of human-readable failures (empty = all gates pass)."""
     failures = []
     for metric, (op, threshold) in CHECKS.get(name, {}).items():
-        if metric not in result:
+        if metric not in result or result[metric] is None:
             failures.append(f"{metric}: MISSING from result")
             continue
         value = result[metric]

@@ -121,6 +121,14 @@ def _whitened_terms(c, stats, policy):
 def _bound_from_stats(c, stats, kl_x, policy):
     """Whitened Hensman bound given (possibly scaled) SuffStats and the
     matching (possibly scaled) KL(q(X)) contribution."""
+    bound, _, _ = _bound_and_whitened(c, stats, kl_x, policy)
+    return bound
+
+
+def _bound_and_whitened(c, stats, kl_x, policy):
+    """(bound, a, A2): the bound plus the whitened statistics it was
+    built from — lets a natural-gradient step reuse the gradient pass's
+    psi statistics instead of recomputing them (blend_at="grad")."""
     beta = 1.0 / c["noise"]
     a, A2, L = _whitened_terms(c, stats, policy)
     mu, ls = c["u_mean"], c["u_scale"]                 # (M, D), (M, M)
@@ -150,7 +158,7 @@ def _bound_from_stats(c, stats, kl_x, policy):
             - 2.0 * jnp.sum(jnp.log(s_diag_chol))
         )
     )
-    return jnp.sum(per_dim) - kl_u - kl_x
+    return jnp.sum(per_dim) - kl_u - kl_x, a, A2
 
 
 def elbo_minibatch(
@@ -281,7 +289,9 @@ def predict_from_latent(params, x_mean, x_var, config: Config,
         return t_s - jnp.trace(a2n), t_m
 
     gp_var, m_quad = jax.vmap(row_pieces)(x_mean, x_var)  # (N*,), (N*, D)
-    k_diag = c["variance"] * jnp.ones_like(gp_var)   # E[k_nn] for ARD-RBF
+    k_diag = dispatch.expected_gram_diag(
+        c["variance"], c["ard"], x_mean, x_var, kernel=config.kernel
+    )                                                # per-row E[k_nn]
     var = (
         (k_diag + gp_var)[:, None] + m_quad - mean * mean + c["noise"]
     )
@@ -362,11 +372,14 @@ def infer_latent(
             return t_s - jnp.trace(a2n), t_m
 
         gp_var, m_quad = jax.vmap(row_pieces)(vp["m"], s)
+        k_diag = dispatch.expected_gram_diag(
+            c["variance"], c["ard"], vp["m"], s, kernel=config.kernel
+        )
         # E[(y - f)^2] = y^2 - 2 y E[f] + E[f^2];  E[f^2] = m_quad +
         # (tr(S A2_n) added once per dim) ... per (n, d):
         sq = (
             y_star * y_star - 2.0 * y_star * f_mean + m_quad
-            + (gp_var + c["variance"])[:, None]
+            + (gp_var + k_diag)[:, None]
             # E[k_nn] - tr(A2_n) + tr(S A2_n) is the conditional-var
             # correction, identical across dims (added via gp_var +
             # variance above; note m_quad already holds m^T A2_n m)
@@ -446,8 +459,46 @@ def _params_from_natural(h, lam):
     return u_mean, raw
 
 
+def _scaled_batch_stats(c, y_b, idx, n_total, config: Config):
+    """(N/B)-scaled SuffStats and q(X)-KL for a batch, from constrained
+    params — the common core of the minibatch bound and natgrad blend."""
+    mu_b = c["qx_mean"][idx]
+    s_b = c["qx_var"][idx]
+    scale = jnp.asarray(n_total / y_b.shape[0], y_b.dtype)
+    stats = dispatch.suff_stats(
+        c["variance"], c["ard"], mu_b, s_b, c["z"], y_b,
+        block_n=config.psi2_block, use_pallas=config.use_pallas,
+        kernel=config.kernel,
+    )
+    stats = stats._replace(
+        psi0=stats.psi0 * scale, psi1T_y=stats.psi1T_y * scale,
+        psi2=stats.psi2 * scale, yty=stats.yty * scale,
+        n=stats.n * scale,
+    )
+    kl_x = scale * gaussian.kl_to_standard_normal(mu_b, s_b)
+    return stats, kl_x
+
+
+def _guarded_qu(params, u_mean, raw_u_scale):
+    """Keep the previous q(u) when a blend produced non-finite values
+    (an ill-conditioned batch Lambda can NaN the unjittered Cholesky in
+    `_params_from_natural`; apply_if_finite never sees the blend)."""
+    ok = jnp.isfinite(jnp.sum(u_mean)) & jnp.isfinite(
+        jnp.sum(raw_u_scale)
+    )
+    return {
+        **params,
+        "u_mean": jnp.where(ok, u_mean, params["u_mean"]),
+        "raw_u_scale": jnp.where(ok, raw_u_scale, params["raw_u_scale"]),
+    }
+
+
 def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
                           rho: float = 0.2,
+                          rho_t0: float | None = None,
+                          rho_kappa: float = 0.6,
+                          blend_at: str = "updated",
+                          sample_idx=None,
                           policy: JitterPolicy | None = None):
     """SVI step with Hoffman-style stochastic NATURAL-gradient q(u)
     updates (the canonical accelerator for this bound): hypers, inducing
@@ -462,19 +513,50 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
     which IS the natural gradient step of length rho on the whitened
     q(u) — no Fisher solves, just the already-computed whitened stats.
     The q(u) leaves are masked out of the optax update (their 'gradient
-    step' is the blend). Returns jitted step(state, rng, Y)."""
+    step' is the blend). Returns jitted step(state, rng, Y).
+
+    rho_t0: if set, Robbins–Monro decay rho_t = rho * (1 + t/t0)^-kappa
+    (satisfies the classic step-size conditions for kappa in (0.5, 1],
+    the standard requirement for asymptotic SVI convergence; fixed rho
+    is the measured-faster default at short horizons — see
+    results/svi_natgrad_order.json).
+
+    blend_at: "updated" recomputes the batch statistics at the post-
+    gradient params (Hoffman ordering — one extra psi pass per step);
+    "grad" reuses the statistics already computed inside the gradient
+    pass (half the psi work, blend lags the hyper update by one step).
+
+    sample_idx: optional (rng) -> (batch,) int array overriding the
+    default with-replacement sampler (deterministic tests; custom
+    samplers)."""
     import optax
 
     from dp_gp_lvm_tpu.train.loop import TrainState
 
     policy = policy or JitterPolicy()
+    if blend_at not in ("updated", "grad"):
+        raise ValueError(f"blend_at must be 'updated'|'grad', got {blend_at!r}")
+
+    def rho_at(t):
+        if rho_t0 is None:
+            return jnp.asarray(rho)
+        return rho * (1.0 + t / rho_t0) ** (-rho_kappa)
 
     def step(state: TrainState, rng, Y):
-        idx = jax.random.randint(rng, (config.batch,), 0, n_total)
+        if sample_idx is None:
+            idx = jax.random.randint(rng, (config.batch,), 0, n_total)
+        else:
+            idx = sample_idx(rng)
         y_b = Y[idx]
 
-        loss_v, grads = jax.value_and_grad(
-            lambda p: loss_minibatch(p, y_b, idx, n_total, config)
+        def loss_with_stats(p):
+            c = constrain(p)
+            stats, kl_x = _scaled_batch_stats(c, y_b, idx, n_total, config)
+            bound, a, A2 = _bound_and_whitened(c, stats, kl_x, policy)
+            return -bound, (a, A2, 1.0 / c["noise"])
+
+        (loss_v, aux), grads = jax.value_and_grad(
+            loss_with_stats, has_aux=True
         )(state.params)
         # q(u) moves by natural gradient, not optax
         grads = {
@@ -487,33 +569,26 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
         )
         params = optax.apply_updates(state.params, updates)
 
-        # natural-gradient blend toward the batch-optimal q(u) at the
-        # UPDATED hypers/latents (Hoffman SVI ordering)
-        c = constrain(params)
-        mu_b = c["qx_mean"][idx]
-        s_b = c["qx_var"][idx]
-        scale = jnp.asarray(n_total / y_b.shape[0], y_b.dtype)
-        stats = dispatch.suff_stats(
-            c["variance"], c["ard"], mu_b, s_b, c["z"], y_b,
-            block_n=config.psi2_block, use_pallas=config.use_pallas,
-            kernel=config.kernel,
-        )
-        stats = stats._replace(
-            psi0=stats.psi0 * scale, psi1T_y=stats.psi1T_y * scale,
-            psi2=stats.psi2 * scale, yty=stats.yty * scale,
-            n=stats.n * scale,
-        )
-        beta = 1.0 / c["noise"]
-        a, A2, _ = _whitened_terms(c, stats, policy)
+        if blend_at == "updated":
+            # natural-gradient blend toward the batch-optimal q(u) at the
+            # UPDATED hypers/latents (Hoffman SVI ordering)
+            c = constrain(params)
+            stats, _ = _scaled_batch_stats(c, y_b, idx, n_total, config)
+            a, A2, _ = _whitened_terms(c, stats, policy)
+            beta = 1.0 / c["noise"]
+        else:
+            # reuse the gradient pass's whitened statistics (old params)
+            a, A2, beta = aux
+            c = constrain(params)
+        rho_t = rho_at(state.step).astype(A2.dtype)
         m = A2.shape[0]
         lam_hat = jnp.eye(m, dtype=A2.dtype) + beta * A2
         h_hat = beta * a
         h, lam = _natural_from_params(c)
-        lam_new = (1.0 - rho) * lam + rho * lam_hat
-        h_new = (1.0 - rho) * h + rho * h_hat
+        lam_new = (1.0 - rho_t) * lam + rho_t * lam_hat
+        h_new = (1.0 - rho_t) * h + rho_t * h_hat
         u_mean, raw_u_scale = _params_from_natural(h_new, lam_new)
-        params = {**params, "u_mean": u_mean,
-                  "raw_u_scale": raw_u_scale}
+        params = _guarded_qu(params, u_mean, raw_u_scale)
 
         return (
             TrainState(params, opt_state, state.step + 1),

@@ -82,6 +82,21 @@ def psi0(variance, ard, mu, s, weights=None, kernel: str = "ard_rbf"):
     return ard_rbf.psi0(variance, mu, weights)
 
 
+def expected_gram_diag(variance, ard, mu, s, kernel: str = "ard_rbf"):
+    """Per-row expected kernel diagonal E_{q(x_n)}[k(x_n, x_n)], (N,).
+
+    The RBF's diagonal is the constant signal variance; the linear
+    kernel's depends on the latent second moment — prediction paths must
+    dispatch on this rather than hardcode `variance`."""
+    if kernel == "ard_rbf":
+        return variance * jnp.ones(mu.shape[0], mu.dtype)
+    if kernel == "linear":
+        return variance * jnp.sum(
+            jnp.asarray(ard)[None, :] * (mu * mu + s), axis=-1
+        )
+    raise ValueError(f"unknown kernel {kernel!r}")
+
+
 def resolve_pallas(use_pallas, kernel: str, t: int, n: int, m: int) -> bool:
     """Static fused-kernel decision: M >= 96 AND tile volume t*n*m^2
     above ~5e8.

@@ -22,14 +22,18 @@ Kernel inventory:
     analytic backward (derivation in kernels/ard_rbf_vjp.py) — grid over
     N-blocks, atoms looped in-kernel, every (B, M, M) tile VMEM-resident.
   - `psi2_batched_fused`: custom_vjp pairing the batched forward with the
-    fused backward. 2.4x faster than XLA at N=8192/M=128/T=20; selected
-    automatically by `dp_gp_lvm.Config(use_pallas="auto")` above ~5e8
-    tile elements (XLA's fusions win slightly below).
+    fused backward. ~2.0x faster than XLA at N=8192/M=128/T=20 with
+    honest in-kernel f32 (89.8 vs 177.4 ms — round-2 re-sweep, see
+    SCALING.md and results/roofline.json, the single source of truth for
+    these numbers); selected by `resolve_pallas` at M >= 96 AND tile
+    volume above ~5e8 (XLA's single-shot fusions win at M <= 64).
 
 Mosaic constraints encountered (also in CLAUDE.md): no scalar or
 1-element stores to VMEM, no multi-axis reductions straight to rank-1,
 dynamically-indexed reads inside fori_loop must keep a leading length-1
-dim via pl.ds, VMEM (~16 MB) caps block sizes (B=64 @ M=64, B=32 @ M=128).
+dim via pl.ds. Block sizes come from the round-2 sweep under the raised
+64 MB VMEM scope (`_COMPILER_PARAMS`; v5e has 128 MB physical): B=256 at
+M <= 64, B=128 at M = 128 (`_fwd_block`/`_bwd_block`/`_vmem_block_cap`).
 
 Dot precision inside Mosaic (round-2 PALLAS_TPU gate finding): Mosaic
 supports only Precision.DEFAULT and Precision.HIGHEST — HIGH fails to

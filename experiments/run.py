@@ -203,8 +203,13 @@ def main():
         Y_res = data[0]
         n_total = Y_res.shape[0]
         # minibatch steps are ~1 ms; a small chunk makes the host
-        # round-trip the bottleneck. Floor the scan length at 250.
+        # round-trip the bottleneck. Floor the scan length at 250, but
+        # keep at least TWO chunks so a timed post-compile chunk exists
+        # (a single chunk would divide ~0s elapsed by max(1, 0) and
+        # report nonsense rows/s).
         chunk = max(1, min(max(args.log_every, 250), steps))
+        if chunk >= steps:
+            chunk = max(1, steps // 2)
 
         # q(u) by stochastic natural gradient (measured ahead of Adam
         # at this scale for every rho in 0.05-0.5 —
@@ -240,15 +245,19 @@ def main():
             print(f"  step {done - 1}: elbo_estimate={elbo_now:.4g}",
                   flush=True)
         total = time.time() - t0
-        per_step = (time.time() - t_post) / max(1, done - chunk)
+        timed_steps = done - chunk          # steps after the compile chunk
         restart_elbos = []
+        if timed_steps > 0:
+            per_step = (time.time() - t_post) / timed_steps
+            rows_per_sec = round(mcfg.batch / max(per_step, 1e-9))
+        else:
+            per_step, rows_per_sec = float("nan"), None
         print(f"[{cfg.name}] done in {total:.1f}s; "
               f"{per_step*1e3:.2f} ms/step (post-compile), "
-              f"{round(mcfg.batch / max(per_step, 1e-9))} rows/s",
-              flush=True)
+              f"{rows_per_sec} rows/s", flush=True)
         result_extra = {
             "batch": mcfg.batch,
-            "rows_per_sec": round(mcfg.batch / max(per_step, 1e-9)),
+            "rows_per_sec": rows_per_sec,
         }
     else:
         result_extra = {}

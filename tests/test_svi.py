@@ -172,24 +172,81 @@ def test_svi_impute_beats_mean_baseline():
 
 
 def test_natgrad_full_batch_rho1_lands_on_optimum():
-    """One natural-gradient step with rho=1 and batch == full data sets
-    q(u) exactly to the closed-form optimum of the UPDATED
-    hypers/latents — the resulting bound equals the collapsed bound at
-    those parameters (same identity as set_optimal_qu)."""
+    """One natural-gradient step with rho=1 and batch == exactly the
+    full data (deterministic sampler) sets q(u) to the closed-form
+    optimum of the UPDATED hypers/latents: the post-step q(u) ITSELF
+    satisfies the collapsed-bound identity — exercising the blend's
+    natural-parameter conversion, rho mixing, and scale factor (no
+    set_optimal_qu rewrite of the state under test)."""
     Y, cfg, params = _setup(n=32)
     cfg = cfg._replace(batch=32)
     opt = gp_optimizer(params, lr=1e-3)
-    step = svi_gplvm.make_svi_natgrad_step(cfg, 32, opt, rho=1.0)
+    step = svi_gplvm.make_svi_natgrad_step(
+        cfg, 32, opt, rho=1.0, sample_idx=lambda rng: jnp.arange(32)
+    )
     state = init_state(params, opt)
     state, _ = step(state, jax.random.PRNGKey(0), Y)
-    # the step samples WITH replacement; rho=1 full-batch equivalence
-    # needs the exact full batch — redo the blend deterministically:
-    p = svi_gplvm.set_optimal_qu(
-        {k: v for k, v in state.params.items()}, Y, cfg
+    svi = float(svi_gplvm.elbo(state.params, Y, cfg))
+    collapsed = _collapsed_elbo(state.params, Y, cfg)
+    np.testing.assert_allclose(svi, collapsed, rtol=1e-5)
+
+
+def test_natgrad_blend_at_grad_full_batch_rho1():
+    """blend_at="grad" with rho=1 and a full deterministic batch lands
+    q(u) on the optimum of the PRE-update params (the gradient pass's
+    statistics); a second zero-lr step then matches the collapsed bound
+    at the (unchanged) hypers."""
+    Y, cfg, params = _setup(n=32)
+    cfg = cfg._replace(batch=32)
+    opt = gp_optimizer(params, lr=0.0, hyper_lr=0.0)
+    step = svi_gplvm.make_svi_natgrad_step(
+        cfg, 32, opt, rho=1.0, blend_at="grad",
+        sample_idx=lambda rng: jnp.arange(32),
     )
-    svi = float(svi_gplvm.elbo(p, Y, cfg))
-    collapsed = _collapsed_elbo(p, Y, cfg)
-    np.testing.assert_allclose(svi, collapsed, rtol=1e-6)
+    state = init_state(params, opt)
+    state, _ = step(state, jax.random.PRNGKey(0), Y)
+    # lr=0: hypers unchanged, so the grad-pass stats ARE the current
+    # stats and the identity holds exactly
+    svi = float(svi_gplvm.elbo(state.params, Y, cfg))
+    collapsed = _collapsed_elbo(state.params, Y, cfg)
+    np.testing.assert_allclose(svi, collapsed, rtol=1e-5)
+
+
+def test_natgrad_robbins_monro_schedule_trains():
+    """rho_t0 enables the Robbins-Monro decay; training stays finite and
+    improves, and the schedule value actually decays with t."""
+    Y, cfg, params = _setup(n=48)
+    n = Y.shape[0]
+    opt = gp_optimizer(params, lr=2e-2, ngd_lr=0.5)
+    step = svi_gplvm.make_svi_natgrad_step(
+        cfg, n, opt, rho=0.5, rho_t0=20.0, rho_kappa=0.7
+    )
+    e0 = float(svi_gplvm.elbo(params, Y, cfg))
+    st = init_state(params, opt)
+    rng = jax.random.PRNGKey(11)
+    for _ in range(120):
+        rng, sub = jax.random.split(rng)
+        st, _ = step(st, sub, Y)
+    e1 = float(svi_gplvm.elbo(st.params, Y, cfg))
+    assert np.isfinite(e1)
+    assert e1 > e0 + 10.0, (e0, e1)
+
+
+def test_natgrad_nonfinite_blend_keeps_previous_qu():
+    """The post-blend guard: a non-finite blended q(u) leaves the
+    previous q(u) in place instead of poisoning the state."""
+    prev = {"u_mean": jnp.ones((3, 2)), "raw_u_scale": jnp.eye(3)}
+    bad_mean = jnp.array([[jnp.nan, 1.0], [0.0, 1.0], [0.0, 1.0]])
+    out = svi_gplvm._guarded_qu(prev, bad_mean, jnp.eye(3) * 2.0)
+    np.testing.assert_array_equal(np.asarray(out["u_mean"]),
+                                  np.asarray(prev["u_mean"]))
+    np.testing.assert_array_equal(np.asarray(out["raw_u_scale"]),
+                                  np.asarray(prev["raw_u_scale"]))
+    good = svi_gplvm._guarded_qu(
+        prev, jnp.zeros_like(bad_mean), jnp.eye(3) * 2.0
+    )
+    np.testing.assert_array_equal(np.asarray(good["raw_u_scale"]),
+                                  np.asarray(jnp.eye(3) * 2.0))
 
 
 def test_natgrad_trains_stably():
