@@ -98,6 +98,35 @@ def grouped_dims(rng, n=100, dims_per_group=(6, 6), q=3, noise=0.01,
     return Y, jnp.asarray(labels), X
 
 
+def grouped_dims_big(rng, n=65536, dims_per_group=(16, 16), q=4,
+                     noise=0.02, num_features=64, dtype=jnp.float64):
+    """Big-N analogue of grouped_dims for the minibatch DP-SVI configs:
+    groups of output dims, each driven by a different latent dim, drawn
+    through random Fourier features (an O(n) approximation of the GP
+    draw — grouped_dims' exact draw needs an (N, N) Cholesky and dies
+    past a few thousand rows). Returns (Y, labels, X)."""
+    num_groups = len(dims_per_group)
+    rngs = jax.random.split(rng, 2 * num_groups + 2)
+    X = jax.random.normal(rngs[0], (n, q), dtype)
+    Ys, labels = [], []
+    for g, dg in enumerate(dims_per_group):
+        x_g = X[:, g % q][:, None]                       # (n, 1)
+        w = jax.random.normal(rngs[2 * g + 1], (1, num_features), dtype)
+        b = jax.random.uniform(
+            rngs[2 * g + 2], (num_features,), dtype, 0.0, 2.0 * jnp.pi
+        )
+        feats = jnp.sqrt(2.0 / num_features) * jnp.cos(x_g @ w + b[None])
+        amp = jax.random.normal(
+            jax.random.fold_in(rngs[-1], g), (num_features, dg), dtype
+        )
+        Ys.append(feats @ amp)
+        labels += [g] * dg
+    Y = jnp.concatenate(Ys, axis=1)
+    Y = Y + noise * jax.random.normal(rngs[-1], Y.shape, dtype)
+    Y = (Y - Y.mean(axis=0)) / Y.std(axis=0)
+    return Y, jnp.asarray(labels), X
+
+
 def oil_flow_like(rng, n=1000, d=12, dtype=jnp.float64):
     """Three-regime multiphase-flow surrogate (config 2 shape: N=1000, D=12).
 

@@ -1,0 +1,504 @@
+r"""Minibatch (stochastic) DP-GP-LVM — the uncollapsed phi-weighted
+Hensman bound with per-atom explicit q(u), whitened.
+
+Beyond-reference capability, completing the big-N story for the flagship
+model: the reference (and models/dp_gp_lvm.py) evaluates the collapsed
+Titsias bound per atom from FULL-batch sufficient statistics — one step
+touches all N rows. This module keeps an explicit whitened q(u | t) per
+truncation atom so the expected log-likelihood decomposes over data
+rows, giving per-step cost O(T B M^2) at ANY N (and multiplying with the
+shard_map data axis, parallel/sharded_elbo.dp_svi_elbo_sharded).
+
+Model/family (the conditional-posterior form consistent with the
+collapsed DP-GP-LVM): each output dim d has an assignment z_d ~ q(z_d) =
+Cat(phi_d) over T atoms and inducing outputs u_d with prior
+p(u_d | z_d = t) = N(0, K_uu^t). The variational family is the
+CONDITIONAL one, q(u_d, z_d) = q(z_d) q(u_d | z_d), whitened per atom:
+v = L_t^{-1} u with L_t = chol(K_uu^t) and
+
+    q(v_d | z_d = t) = N(m_td, S_t)       (mean per (t, d); one S_t per
+                                           atom — the family optimum has
+                                           atom-shared covariance, below)
+
+so every q(u)-dependent ELBO term picks up the assignment weight,
+KL included:
+
+    ELBO = sum_{t,d} phi_dt (fit_td - KL_td)        [phi-weighted fits]
+         + E_q[log p(z | v)] + H[q(z)]               [assignments]
+         - KL[q(v) || p(v | alpha)] - KL[q(X)]       [sticks, latents]
+
+    fit_td = -n/2 log(2 pi s2_t) - beta_t/2 [ yty_d - 2 m_td^T a_td
+             + m_td^T A2_t m_td + tr(S_t A2_t) + psi0_t - tr(A2_t) ]
+    KL_td  = 1/2 ||m_td||^2 + 1/2 [ tr(S_t) - logdet S_t - M ]
+
+with a_t = L_t^{-1} Psi1_t^T Y and A2_t = L_t^{-1} Psi2_t L_t^{-T} from
+the SAME per-atom sufficient statistics as the collapsed path
+(ops/dispatch.dp_batched_suffstats — fused Pallas kernels compose).
+
+Why this family (and not an unconditional per-(t,d) posterior): the
+coordinate/natural-gradient optimum of (m_td, S_t) is INDEPENDENT of
+phi — stationarity gives S_t* = (I + beta_t A2_t)^{-1} and
+m_td* = beta_t S_t* a_td for every d (the phi_dt weight multiplies the
+whole per-dim objective, cancelling) — so the optimal covariance is
+genuinely atom-shared, the natural-gradient blend target is one
+(M, M) matrix per atom, and plugging the optimum in recovers
+phi_dt * F_dt with F_dt the collapsed per-dim free energy: this bound
+at optimal q(u) EQUALS models/dp_gp_lvm.elbo exactly (the oracle in
+tests/test_dp_svi.py). At T = 1 it reduces to models/svi_gplvm.elbo
+exactly.
+
+q(u) is stored in NATURAL parameters (h_td = Lambda_t m_td stacked as
+u_h (T, M, D); Lambda_t = S_t^{-1} as u_lam (T, M, M)) — the blend
+
+    Lambda_t <- (1 - rho) Lambda_t + rho (I + beta_t A2_hat_t)
+    h_td     <- (1 - rho) h_td     + rho (beta_t a_hat_td)
+
+is then native (no conversion), and Lambda stays PD as a convex
+combination of PD matrices. phi and gamma update by damped stochastic
+CAVI on THEIR natural parameters from the same (N/B)-scaled batch
+statistics: logits* = fhat_td + E[log pi_t] (fhat = the minibatch
+estimate of the per-dim uncollapsed free energy), gamma* from the
+blended phi (exact — phi is a global variable, so gamma's CAVI input
+carries no batch noise).
+
+Data enter only via per-atom SuffStats (sums over n): the minibatch
+estimator is exactly unbiased, and a disjoint-partition mean equals the
+full-batch bound (identity-tested).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dp_gp_lvm_tpu.core.transforms import (
+    positive,
+    positive_inverse,
+    positive_noise,
+    positive_variational_var,
+)
+from dp_gp_lvm_tpu.core.types import JitterPolicy
+from dp_gp_lvm_tpu.distributions import gaussian, stick_breaking
+from dp_gp_lvm_tpu.linalg import safe_cholesky, tri_solve
+from dp_gp_lvm_tpu.models.bgplvm import _log_normal_hyperprior
+from dp_gp_lvm_tpu.ops import dispatch
+from dp_gp_lvm_tpu.train.init import (
+    inducing_from_latents,
+    near_uniform_assignments,
+    pca_latents,
+)
+
+_HIGHEST = lax.Precision.HIGHEST
+
+
+class Config(NamedTuple):
+    """Static model hyperparameters (hashable; safe to close over)."""
+
+    num_latent: int
+    num_inducing: int
+    truncation: int                # T
+    alpha: float = 1.0             # DP concentration
+    batch: int = 256               # minibatch rows per step
+    psi2_block: int | None = None
+    use_pallas: bool | str = "auto"
+    kernel: str = "ard_rbf"
+    fast_chol: bool = False
+    hyperprior_std: float = 0.0
+    learn_alpha: bool = False
+
+
+def init_params(rng, Y, config: Config):
+    """DP-GP-LVM init (PCA latents, shared inducing, symmetry-broken
+    per-atom hypers) plus whitened q(u|t) at the prior: h = 0,
+    Lambda = I per atom."""
+    dtype = Y.dtype
+    t, q, m = config.truncation, config.num_latent, config.num_inducing
+    d = Y.shape[1]
+    r_z, r_phi, r_hyp = jax.random.split(rng, 3)
+    x0 = pca_latents(Y, q).astype(dtype)
+    z0 = inducing_from_latents(r_z, x0, m)
+    ard0 = jnp.ones((t, q), dtype) * (
+        1.0 + 0.05 * jax.random.normal(r_hyp, (t, q), dtype)
+    )
+    params = {
+        "qx_mean": x0,
+        "raw_qx_var": positive_inverse(0.5 * jnp.ones_like(x0)),
+        "z": jnp.broadcast_to(z0, (t,) + z0.shape).copy(),
+        "raw_variance": positive_inverse(jnp.ones((t,), dtype)),
+        "raw_ard": positive_inverse(jnp.maximum(ard0, 0.1)),
+        "raw_noise": positive_inverse(jnp.full((t,), 0.1, dtype)),
+        "phi_logits": near_uniform_assignments(r_phi, d, t).astype(dtype),
+        "raw_gamma1": positive_inverse(jnp.ones((t - 1,), dtype)),
+        "raw_gamma2": positive_inverse(
+            jnp.full((t - 1,), config.alpha, dtype)
+        ),
+        # whitened q(u|t) naturals: h (T, M, D), Lambda (T, M, M)
+        "u_h": jnp.zeros((t, m, d), dtype),
+        "u_lam": jnp.broadcast_to(jnp.eye(m, dtype=dtype), (t, m, m)).copy(),
+    }
+    if config.learn_alpha:
+        params["raw_alpha"] = positive_inverse(
+            jnp.asarray(config.alpha, dtype)
+        )
+    return params
+
+
+def constrain(params):
+    out = {
+        "qx_mean": params["qx_mean"],
+        "qx_var": positive_variational_var(params["raw_qx_var"]),
+        "z": params["z"],
+        "variance": positive(params["raw_variance"]),
+        "ard": positive(params["raw_ard"]),
+        "noise": positive_noise(params["raw_noise"]),
+        "phi": jax.nn.softmax(params["phi_logits"], axis=-1),
+        "gamma1": positive(params["raw_gamma1"], 1e-4),
+        "gamma2": positive(params["raw_gamma2"], 1e-4),
+        # naturals pass through; symmetrize Lambda (blends preserve
+        # symmetry, optimizer round-trips might not bit-exactly)
+        "u_h": params["u_h"],
+        "u_lam": 0.5 * (
+            params["u_lam"] + jnp.swapaxes(params["u_lam"], -1, -2)
+        ),
+    }
+    if "raw_alpha" in params:
+        out["alpha"] = positive(params["raw_alpha"], 1e-3)
+    return out
+
+
+def _batch_stats(c, mu, s, Y, config: Config):
+    """Per-atom stacked sufficient statistics for rows (mu, s, Y)."""
+    return dispatch.dp_batched_suffstats(
+        c["variance"], c["ard"], mu, s, c["z"], Y,
+        block_n=config.psi2_block, use_pallas=config.use_pallas,
+        kernel=config.kernel,
+    )
+
+
+def _atom_whitened(c, p1y, p2, config: Config, policy: JitterPolicy):
+    """Per-atom whitened statistics: a (T, M, D), A2 (T, M, M)."""
+
+    def one(v_t, a_t, z_t, p1y_t, p2_t):
+        kuu = dispatch.gram(v_t, a_t, z_t, kernel=config.kernel)
+        L, _ = safe_cholesky(kuu, policy)
+        a = tri_solve(L, p1y_t)
+        half = tri_solve(L, p2_t)
+        A2 = tri_solve(L, half.T)
+        return a, 0.5 * (A2 + A2.T)
+
+    return jax.vmap(one)(c["variance"], c["ard"], c["z"], p1y, p2)
+
+
+def per_dim_free_energy(c, stats, config: Config, policy: JitterPolicy):
+    """f (T, D): per-atom per-dim uncollapsed free energies
+    fit_td - KL_td at the current q(u|t), from (possibly scaled)
+    per-atom statistics stats = (psi0, p1y, p2, yty, n).
+
+    At the closed-form optimal q(u|t) this equals the collapsed
+    per-dim bound F_dt (models/bound.collapsed_bound) exactly."""
+    f_td, _, _ = _free_energy_and_whitened(c, stats, config, policy)
+    return f_td
+
+
+def _free_energy_and_whitened(c, stats, config: Config,
+                              policy: JitterPolicy):
+    """(f_td, a (T,M,D), A2 (T,M,M)) — the free energies plus the
+    whitened statistics they were built from, so a natural-gradient
+    step can blend without recomputing the psi pass."""
+    p0, p1y, p2, yty, n = stats
+    a_all, A2_all = _atom_whitened(c, p1y, p2, config, policy)
+    log2pi = jnp.log(2.0 * jnp.pi).astype(yty.dtype)
+
+    def one(noise_t, p0_t, a_t, A2_t, h_t, lam_t):
+        beta = 1.0 / noise_t
+        m = lam_t.shape[0]
+        # S_t = Lambda_t^{-1} via UNJITTERED Cholesky: Lambda >= I in the
+        # Loewner order by construction (init I; every blend target
+        # I + beta A2_hat >= I; convex combinations preserve it), so the
+        # factorization cannot fail and jitter would break the exact
+        # collapsed-bound oracle (tests/test_dp_svi.py). Non-finite
+        # fallout from a corrupted Lambda is caught by _guarded.
+        Llam = jnp.linalg.cholesky(lam_t)
+        eye = jnp.eye(m, dtype=lam_t.dtype)
+        linv = tri_solve(Llam, eye)
+        S = jnp.dot(linv.T, linv, precision=_HIGHEST)
+        mean = jnp.dot(S, h_t, precision=_HIGHEST)            # (M, D)
+        logdet_S = -2.0 * jnp.sum(jnp.log(jnp.diagonal(Llam)))
+        tr_S_A2 = jnp.sum(S * A2_t)
+        quad = jnp.sum(mean * jnp.dot(A2_t, mean, precision=_HIGHEST),
+                       axis=0)                                # (D,)
+        a_dot_m = jnp.sum(mean * a_t, axis=0)                 # (D,)
+        fit = (
+            -0.5 * n * (log2pi + jnp.log(noise_t))
+            - 0.5 * beta * (
+                yty - 2.0 * a_dot_m + quad
+                + tr_S_A2 + p0_t - jnp.trace(A2_t)
+            )
+        )                                                     # (D,)
+        kl = (
+            0.5 * jnp.sum(mean * mean, axis=0)
+            + 0.5 * (jnp.trace(S) - logdet_S - m)
+        )                                                     # (D,)
+        return fit - kl
+
+    f_td = jax.vmap(one)(
+        c["noise"], p0, a_all, A2_all, c["u_h"], c["u_lam"]
+    )
+    return f_td, a_all, A2_all
+
+
+def _elbo_from_stats(c, stats, kl_x, config: Config,
+                     policy: JitterPolicy):
+    f_td, a_all, A2_all = _free_energy_and_whitened(
+        c, stats, config, policy
+    )                                                         # (T, D)
+    phi = c["phi"]                                            # (D, T)
+    fit = jnp.sum(phi * f_td.T)
+    alpha = c.get("alpha", jnp.asarray(config.alpha, f_td.dtype))
+    dp = stick_breaking.dp_kl_terms(phi, c["gamma1"], c["gamma2"], alpha)
+    if "alpha" in c:
+        dp = dp + stick_breaking.alpha_log_prior(alpha)
+    hp = _log_normal_hyperprior(
+        config.hyperprior_std, c["variance"], c["ard"], c["noise"]
+    )
+    return {
+        "elbo": fit + dp - kl_x + hp,
+        "fit": fit,
+        "dp_terms": dp,
+        "kl_x": kl_x,
+        "hyperprior": hp,
+        "f_td": f_td,
+        "_a": a_all,
+        "_A2": A2_all,
+    }
+
+
+def _scale_stats(stats, scale):
+    p0, p1y, p2, yty, n = stats
+    return (p0 * scale, p1y * scale, p2 * scale, yty * scale, n * scale)
+
+
+def elbo_terms(params, Y, config: Config,
+               policy: JitterPolicy | None = None):
+    """Full-batch uncollapsed DP bound (testing / small N)."""
+    policy = policy or JitterPolicy()
+    if config.fast_chol:
+        policy = policy._replace(max_tries=0)
+    c = constrain(params)
+    stats = _batch_stats(c, c["qx_mean"], c["qx_var"], Y, config)
+    kl_x = gaussian.kl_to_standard_normal(c["qx_mean"], c["qx_var"])
+    return _elbo_from_stats(c, stats, kl_x, config, policy)
+
+
+def elbo(params, Y, config: Config, policy: JitterPolicy | None = None):
+    return elbo_terms(params, Y, config, policy)["elbo"]
+
+
+def loss(params, Y, config: Config):
+    return -elbo(params, Y, config)
+
+
+def elbo_minibatch(params, y_batch, idx, n_total: int, config: Config,
+                   policy: JitterPolicy | None = None):
+    """Unbiased minibatch estimate of the full-data ELBO: all row-sum
+    terms (per-atom SuffStats and the batch rows' KL(q(X))) scale by
+    N/B; q(u), phi, gamma, hyper terms are global."""
+    policy = policy or JitterPolicy()
+    if config.fast_chol:
+        policy = policy._replace(max_tries=0)
+    c = constrain(params)
+    mu_b = c["qx_mean"][idx]
+    s_b = c["qx_var"][idx]
+    scale = jnp.asarray(n_total / y_batch.shape[0], y_batch.dtype)
+    stats = _scale_stats(
+        _batch_stats(c, mu_b, s_b, y_batch, config), scale
+    )
+    kl_x = scale * gaussian.kl_to_standard_normal(mu_b, s_b)
+    return _elbo_from_stats(c, stats, kl_x, config, policy)["elbo"]
+
+
+def loss_minibatch(params, y_batch, idx, n_total: int, config: Config):
+    return -elbo_minibatch(params, y_batch, idx, n_total, config)
+
+
+def optimal_qu(params, Y, config: Config,
+               policy: JitterPolicy | None = None):
+    """Closed-form optimal whitened q(u|t) at FULL-batch statistics —
+    per atom: Lambda_t* = I + beta_t A2_t, h_td* = beta_t a_td
+    (phi-independent; see module docstring). Returns (u_h, u_lam)."""
+    policy = policy or JitterPolicy()
+    c = constrain(params)
+    _, p1y, p2, _, _ = _batch_stats(c, c["qx_mean"], c["qx_var"], Y,
+                                    config)
+    a_all, A2_all = _atom_whitened(c, p1y, p2, config, policy)
+    beta = 1.0 / c["noise"]                                   # (T,)
+    m = A2_all.shape[-1]
+    eye = jnp.eye(m, dtype=A2_all.dtype)
+    u_lam = eye[None] + beta[:, None, None] * A2_all
+    u_h = beta[:, None, None] * a_all
+    return u_h, u_lam
+
+
+def set_optimal_qu(params, Y, config: Config):
+    """Params with q(u|t) at the full-batch optimum (warm start; the
+    collapsed-bound equality oracle)."""
+    u_h, u_lam = optimal_qu(params, Y, config)
+    return {**params, "u_h": u_h, "u_lam": u_lam}
+
+
+# ---------------------------------------------------------------------------
+# training step: gradient hypers/latents + natural-gradient q(u) +
+# damped stochastic CAVI for phi / gamma (/ alpha)
+# ---------------------------------------------------------------------------
+
+# leaves updated by blend/CAVI, masked out of the optax update
+_BLEND_LEAVES = (
+    "u_h", "u_lam", "phi_logits", "raw_gamma1", "raw_gamma2", "raw_alpha",
+)
+
+
+def _guarded(params, updates: dict):
+    """Apply blended leaves only when ALL of them are finite (one bad
+    batch must not poison the run; same policy as svi_gplvm)."""
+    ok = jnp.asarray(True)
+    for v in updates.values():
+        ok = ok & jnp.isfinite(jnp.sum(v))
+    return {
+        **params,
+        **{k: jnp.where(ok, v, params[k]) for k, v in updates.items()},
+    }
+
+
+def make_dp_svi_step(config: Config, n_total: int, optimizer,
+                     rho: float = 0.2,
+                     rho_t0: float | None = None,
+                     rho_kappa: float = 0.6,
+                     rho_phi: float | None = None,
+                     blend_at: str = "grad",
+                     sample_idx=None,
+                     policy: JitterPolicy | None = None):
+    """One jitted DP-SVI step. Returns step(state, rng, Y) -> (state,
+    metrics); Y stays device-resident, rows gathered by index.
+
+    - hypers, inducing inputs, q(X) rows: optax gradient (gp_optimizer
+      labels give hypers lr/10 and q(X) exact NGD when ngd_lr is set);
+    - q(u|t): per-atom natural-gradient blend of (h, Lambda) toward the
+      batch-implied optimum, step rho (Robbins-Monro decay via rho_t0);
+    - phi: damped stochastic CAVI on logits (rho_phi, default = rho):
+      logits* = fhat_td + E[log pi_t] from the same scaled batch stats;
+    - gamma (and alpha if learned): exact CAVI given the new phi (their
+      CAVI inputs are global — no batch noise — so no damping needed).
+
+    blend_at: "grad" (default) reuses the gradient pass's per-atom
+    whitened statistics — no second psi pass; "updated" recomputes them
+    at the post-gradient params (Hoffman ordering, ~2x psi work)."""
+    import optax
+
+    from dp_gp_lvm_tpu.train.loop import TrainState
+
+    policy = policy or JitterPolicy()
+    if config.fast_chol:
+        policy = policy._replace(max_tries=0)
+    if blend_at not in ("updated", "grad"):
+        raise ValueError(f"blend_at must be 'updated'|'grad', got {blend_at!r}")
+    rho_phi = rho if rho_phi is None else rho_phi
+    learn_alpha = config.learn_alpha
+
+    def rho_at(t):
+        if rho_t0 is None:
+            return jnp.asarray(rho)
+        return rho * (1.0 + t / rho_t0) ** (-rho_kappa)
+
+    def step(state: TrainState, rng, Y):
+        if sample_idx is None:
+            idx = jax.random.randint(rng, (config.batch,), 0, n_total)
+        else:
+            idx = sample_idx(rng)
+        y_b = Y[idx]
+        scale = jnp.asarray(n_total / y_b.shape[0], y_b.dtype)
+
+        def loss_with_stats(p):
+            c = constrain(p)
+            mu_b = c["qx_mean"][idx]
+            s_b = c["qx_var"][idx]
+            stats = _scale_stats(
+                _batch_stats(c, mu_b, s_b, y_b, config), scale
+            )
+            kl_x = scale * gaussian.kl_to_standard_normal(mu_b, s_b)
+            terms = _elbo_from_stats(c, stats, kl_x, config, policy)
+            aux = (terms["_a"], terms["_A2"], 1.0 / c["noise"],
+                   terms["f_td"])
+            return -terms["elbo"], aux
+
+        (loss_v, aux), grads = jax.value_and_grad(
+            loss_with_stats, has_aux=True
+        )(state.params)
+        grads = {
+            **grads,
+            **{k: jnp.zeros_like(grads[k]) for k in _BLEND_LEAVES
+               if k in grads},
+        }
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+
+        if blend_at == "updated":
+            c = constrain(params)
+            mu_b = c["qx_mean"][idx]
+            s_b = c["qx_var"][idx]
+            stats = _scale_stats(
+                _batch_stats(c, mu_b, s_b, y_b, config), scale
+            )
+            kl_x = scale * gaussian.kl_to_standard_normal(mu_b, s_b)
+            terms = _elbo_from_stats(c, stats, kl_x, config, policy)
+            a_all, A2_all, f_td = terms["_a"], terms["_A2"], terms["f_td"]
+            beta = 1.0 / c["noise"]
+        else:
+            a_all, A2_all, beta, f_td = aux
+            c = constrain(params)
+
+        rho_t = rho_at(state.step).astype(A2_all.dtype)
+        m = A2_all.shape[-1]
+        eye = jnp.eye(m, dtype=A2_all.dtype)
+        lam_hat = eye[None] + beta[:, None, None] * A2_all
+        h_hat = beta[:, None, None] * a_all
+        new = {
+            "u_lam": (1.0 - rho_t) * c["u_lam"] + rho_t * lam_hat,
+            "u_h": (1.0 - rho_t) * c["u_h"] + rho_t * h_hat,
+        }
+
+        # phi: damped stochastic CAVI on the categorical naturals
+        alpha = c.get("alpha", jnp.asarray(config.alpha, f_td.dtype))
+        logits_star = f_td.T + stick_breaking.expected_log_pi(
+            c["gamma1"], c["gamma2"]
+        )[None, :]
+        rp = jnp.asarray(rho_phi, f_td.dtype)
+        new["phi_logits"] = (
+            (1.0 - rp) * params["phi_logits"] + rp * logits_star
+        )
+
+        # gamma / alpha: exact CAVI given the blended phi
+        phi_new = jax.nn.softmax(new["phi_logits"], axis=-1)
+        g1, g2 = stick_breaking.gamma_cavi_update(phi_new, alpha)
+        new["raw_gamma1"] = positive_inverse(g1)
+        new["raw_gamma2"] = positive_inverse(g2)
+        if learn_alpha and "raw_alpha" in params:
+            new["raw_alpha"] = positive_inverse(
+                stick_breaking.alpha_cavi_update(g1, g2)
+            )
+        params = _guarded(params, new)
+
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {"loss": loss_v, "elbo_estimate": -loss_v},
+        )
+
+    return jax.jit(step)
+
+
+def expected_assignments(params):
+    """phi (D, T): posterior over output-dimension group assignments."""
+    return jax.nn.softmax(params["phi_logits"], axis=-1)

@@ -119,6 +119,58 @@ def resolve_pallas(use_pallas, kernel: str, t: int, n: int, m: int) -> bool:
     return bool(use_pallas)
 
 
+def dp_batched_suffstats(
+    variance, ard, mu, s, Zs, Y, weights=None, block_n=None,
+    use_pallas="auto", kernel: str = "ard_rbf",
+):
+    """Stacked per-atom sufficient statistics for the DP family:
+    (psi0 (T,), psi1T_y (T, M, D), psi2 (T, M, M), yty (D,), n).
+
+    One fused Pallas kernel over grid (T, N/block) when `resolve_pallas`
+    selects it (Psi1 never materializes in HBM), else vmapped pure JAX.
+    Shared by the full-batch DP bound, the minibatch DP-SVI bound, and
+    the per-shard program in parallel/sharded_elbo.py (which passes
+    PER-DEVICE shapes)."""
+    t_local, m = Zs.shape[0], Zs.shape[1]
+    if kernel == "ard_rbf" and resolve_pallas(
+        use_pallas, kernel, t_local, mu.shape[0], m
+    ):
+        blk = block_n or psi_pallas._fwd_block(m, mu.shape[0])
+        p2, p1y = psi_pallas.suffstats_batched_fused(
+            variance, ard, mu, s, Zs, Y, weights, blk, not _on_tpu()
+        )
+        p0 = ard_rbf.psi0(variance, mu, weights)
+    elif kernel == "ard_rbf":
+        p2 = jax.vmap(
+            lambda v, a, zt: psi2_analytic(v, a, mu, s, zt, weights, block_n)
+        )(variance, ard, Zs)
+        Yw = Y if weights is None else Y * weights[:, None]
+        p1y = jax.vmap(
+            lambda v, a, zt: jnp.dot(
+                psi1_weighted(v, a, mu, s, zt, None).T, Yw,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )(variance, ard, Zs)
+        p0 = ard_rbf.psi0(variance, mu, weights)
+    else:
+        def one(v, a, zt):
+            p0_t, p1_t, p2_t = psi_stats(
+                v, a, mu, s, zt, weights=weights, block_n=block_n,
+                use_pallas=False, kernel=kernel,
+            )
+            return p0_t, jnp.dot(
+                p1_t.T, Y, precision=jax.lax.Precision.HIGHEST
+            ), p2_t
+
+        p0, p1y, p2 = jax.vmap(one)(variance, ard, Zs)
+    Yw = Y if weights is None else Y * weights[:, None]
+    n_eff = (
+        jnp.asarray(Y.shape[0], Y.dtype) if weights is None
+        else jnp.sum(weights)
+    )
+    return p0, p1y, p2, jnp.sum(Y * Yw, axis=0), n_eff
+
+
 def suff_stats(
     variance, ard, mu, s, Z, Y, weights=None, block_n=None,
     use_pallas="auto", kernel: str = "ard_rbf",

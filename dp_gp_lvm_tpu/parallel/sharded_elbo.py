@@ -122,32 +122,15 @@ def bgplvm_loss_sharded(params, Y, config, mesh):
 def _dp_local_stats_batched(variance, ard, mu, s, Zs, y, config, policy):
     """Stacked per-atom partial sufficient statistics for the local data
     shard: (Psi0 (Tl,), Psi1^T Y (Tl,M,D), Psi2 (Tl,M,M)) — one fused
-    Pallas kernel when selected, else vmapped pure JAX."""
-    t_local, m = Zs.shape[0], Zs.shape[1]
-    if _resolve_pallas(config.use_pallas, config.kernel, t_local,
-                       mu.shape[0], m):
-        blk = config.psi2_block or psi_pallas._fwd_block(m, mu.shape[0])
-        p2, p1y = psi_pallas.suffstats_batched_fused(
-            variance, ard, mu, s, Zs, y, None, blk, _interpret()
-        )
-    else:
-        p2 = jax.vmap(
-            lambda v, a, zt: ard_rbf.psi2(
-                v, a, mu, s, zt, block_n=config.psi2_block
-            )
-        )(variance, ard, Zs)
-        p1y = jax.vmap(
-            lambda v, a, zt: jnp.dot(
-                ard_rbf.psi1(v, a, mu, s, zt).T, y, precision=_HIGHEST
-            )
-        )(variance, ard, Zs)
-    return SuffStats(
-        psi0=ard_rbf.psi0(variance, mu),      # (Tl,) — broadcasts over atoms
-        psi1T_y=p1y,
-        psi2=p2,
-        yty=jnp.sum(y * y, axis=0),
-        n=jnp.asarray(y.shape[0], y.dtype),
+    Pallas kernel when selected, else vmapped pure JAX. Thin wrapper
+    over dispatch.dp_batched_suffstats (PER-DEVICE shapes drive the
+    fused-kernel crossover)."""
+    p0, p1y, p2, yty, n = dispatch.dp_batched_suffstats(
+        variance, ard, mu, s, Zs, y,
+        block_n=config.psi2_block, use_pallas=config.use_pallas,
+        kernel=config.kernel,
     )
+    return SuffStats(psi0=p0, psi1T_y=p1y, psi2=p2, yty=yty, n=n)
 
 
 def dp_elbo_sharded(

@@ -1,0 +1,187 @@
+"""Minibatch DP-SVI (models/dp_svi.py) oracles.
+
+  1. At the closed-form optimal per-atom whitened q(u|t), the
+     uncollapsed phi-weighted bound EQUALS the collapsed DP-GP-LVM
+     ELBO (models/dp_gp_lvm.elbo) — exact identity, any phi/gamma.
+  2. At any other q(u) it is strictly below.
+  3. T = 1 reduces exactly to the SVI-GPLVM bound
+     (models/svi_gplvm.elbo) at matching q(u).
+  4. A disjoint-partition mean of minibatch estimates equals the
+     full-batch bound exactly (all data terms are linear in the
+     per-atom row sums at fixed q(u), phi).
+  5. One rho=1 full-deterministic-batch natural-gradient step lands
+     q(u) on the optimum of the updated params (post-step state
+     satisfies oracle 1).
+  6. Training recovers planted output-dimension groups at minibatch
+     scale and improves the full bound.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dp_gp_lvm_tpu.data import synthetic
+from dp_gp_lvm_tpu.models import dp_gp_lvm, dp_svi, svi_gplvm
+from dp_gp_lvm_tpu.train.loop import gp_optimizer, init_state
+
+
+def _collapsed_params(params):
+    """Strip the q(u) naturals -> collapsed dp_gp_lvm params."""
+    return {k: v for k, v in params.items() if k not in ("u_h", "u_lam")}
+
+
+def _setup(n=40, dims=(4, 4), q=2, m=8, t=3, **kw):
+    Y, labels, _ = synthetic.grouped_dims(
+        jax.random.PRNGKey(3), n=n, dims_per_group=dims, q=q, noise=0.01
+    )
+    cfg = dp_svi.Config(num_latent=q, num_inducing=m, truncation=t,
+                        batch=16, **kw)
+    params = dp_svi.init_params(jax.random.PRNGKey(1), Y, cfg)
+    dcfg = dp_gp_lvm.Config(num_latent=q, num_inducing=m, truncation=t,
+                            **kw)
+    return Y, labels, cfg, dcfg, params
+
+
+def test_optimal_qu_recovers_collapsed_dp_bound():
+    Y, _, cfg, dcfg, params = _setup()
+    params = dp_svi.set_optimal_qu(params, Y, cfg)
+    svi = float(dp_svi.elbo(params, Y, cfg))
+    collapsed = float(dp_gp_lvm.elbo(_collapsed_params(params), Y, dcfg))
+    np.testing.assert_allclose(svi, collapsed, rtol=1e-6)
+
+
+def test_optimal_qu_oracle_with_hyperprior_and_alpha():
+    Y, _, cfg, dcfg, params = _setup(hyperprior_std=1.0, learn_alpha=True)
+    assert "raw_alpha" in params
+    params = dp_svi.set_optimal_qu(params, Y, cfg)
+    svi = float(dp_svi.elbo(params, Y, cfg))
+    collapsed = float(dp_gp_lvm.elbo(_collapsed_params(params), Y, dcfg))
+    np.testing.assert_allclose(svi, collapsed, rtol=1e-6)
+
+
+def test_suboptimal_qu_is_below_collapsed_bound():
+    Y, _, cfg, dcfg, params = _setup()
+    collapsed = float(dp_gp_lvm.elbo(_collapsed_params(params), Y, dcfg))
+    # prior q(u|t) (h=0, Lambda=I): valid but suboptimal
+    below = float(dp_svi.elbo(params, Y, cfg))
+    assert below < collapsed - 1.0, (below, collapsed)
+    # perturbed optimum also below
+    p2 = dp_svi.set_optimal_qu(params, Y, cfg)
+    p2 = {**p2, "u_h": p2["u_h"] + 0.1}
+    below2 = float(dp_svi.elbo(p2, Y, cfg))
+    assert below2 < collapsed, (below2, collapsed)
+
+
+def test_t1_reduces_to_svi_gplvm():
+    """Single atom, phi degenerate: the DP-SVI bound equals the
+    SVI-GPLVM whitened Hensman bound at matching q(u) — both at the
+    prior init (h=0, Lambda=I <-> m=0, S=I) and at the optimum."""
+    rng = jax.random.PRNGKey(0)
+    Y, _ = synthetic.toy_gplvm(rng, n=30, d=5, q_true=2)
+    scfg = svi_gplvm.Config(num_latent=2, num_inducing=8, batch=10)
+    sparams = svi_gplvm.init_params(jax.random.PRNGKey(1), Y, scfg)
+
+    dcfg = dp_svi.Config(num_latent=2, num_inducing=8, truncation=1,
+                         batch=10)
+    dparams = dp_svi.init_params(jax.random.PRNGKey(1), Y, dcfg)
+    dparams["qx_mean"] = sparams["qx_mean"]
+    dparams["raw_qx_var"] = sparams["raw_qx_var"]
+    dparams["z"] = sparams["z"][None]
+    dparams["raw_variance"] = sparams["raw_variance"][None]
+    dparams["raw_ard"] = sparams["raw_ard"][None]
+    dparams["raw_noise"] = sparams["raw_noise"][None]
+
+    np.testing.assert_allclose(
+        float(dp_svi.elbo(dparams, Y, dcfg)),
+        float(svi_gplvm.elbo(sparams, Y, scfg)),
+        rtol=1e-8,
+    )
+    d_opt = dp_svi.set_optimal_qu(dparams, Y, dcfg)
+    s_opt = svi_gplvm.set_optimal_qu(sparams, Y, scfg)
+    np.testing.assert_allclose(
+        float(dp_svi.elbo(d_opt, Y, dcfg)),
+        float(svi_gplvm.elbo(s_opt, Y, scfg)),
+        rtol=1e-7,
+    )
+
+
+def test_minibatch_partition_averages_to_full_bound():
+    Y, _, cfg, _, params = _setup(n=48)
+    params = dp_svi.set_optimal_qu(params, Y, cfg)
+    full = float(dp_svi.elbo(params, Y, cfg))
+    n, b = Y.shape[0], cfg.batch
+    ests = []
+    for start in range(0, n, b):
+        idx = jnp.arange(start, start + b)
+        ests.append(float(dp_svi.elbo_minibatch(
+            params, Y[idx], idx, n, cfg
+        )))
+    np.testing.assert_allclose(np.mean(ests), full, rtol=1e-9)
+
+
+@pytest.mark.parametrize("blend_at", ["updated", "grad"])
+def test_step_rho1_full_batch_lands_on_collapsed(blend_at):
+    """rho=1 with the exact full batch: the post-step q(u) is optimal
+    for the step's reference params (updated params under Hoffman
+    ordering; for blend_at='grad' we freeze the gradient update with
+    zero learning rates so pre == post params) — the post-step state
+    itself satisfies the collapsed-bound identity."""
+    Y, _, cfg, dcfg, params = _setup(n=32)
+    cfg = cfg._replace(batch=32)
+    lr = 1e-3 if blend_at == "updated" else 0.0
+    opt = gp_optimizer(params, lr=lr, hyper_lr=lr / 10 if lr else 0.0)
+    step = dp_svi.make_dp_svi_step(
+        cfg, 32, opt, rho=1.0, rho_phi=0.3, blend_at=blend_at,
+        sample_idx=lambda rng: jnp.arange(32),
+    )
+    state = init_state(params, opt)
+    state, _ = step(state, jax.random.PRNGKey(0), Y)
+    svi = float(dp_svi.elbo(state.params, Y, cfg))
+    collapsed = float(dp_gp_lvm.elbo(
+        _collapsed_params(state.params), Y, dcfg
+    ))
+    np.testing.assert_allclose(svi, collapsed, rtol=1e-5)
+
+
+def test_training_improves_and_recovers_groups():
+    """Minibatch DP-SVI training: full bound improves, phi recovers the
+    planted output-dim groups (the model's raison d'etre), gamma/phi
+    stay valid through the damped CAVI updates."""
+    Y, labels, cfg, _, params = _setup(n=48, dims=(5, 5), t=4, m=10)
+    n = Y.shape[0]
+    opt = gp_optimizer(params, lr=2e-2, ngd_lr=0.5)
+    step = dp_svi.make_dp_svi_step(cfg, n, opt, rho=0.3, rho_phi=0.1)
+    state = init_state(params, opt)
+    e0 = float(dp_svi.elbo(state.params, Y, cfg))
+    rng = jax.random.PRNGKey(7)
+    for _ in range(300):
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, sub, Y)
+    e1 = float(dp_svi.elbo(state.params, Y, cfg))
+    assert np.isfinite(e1)
+    assert e1 > e0 + 10.0, (e0, e1)
+
+    phi = np.asarray(dp_svi.expected_assignments(state.params))
+    np.testing.assert_allclose(phi.sum(axis=1), 1.0, rtol=1e-5)
+    hard = phi.argmax(axis=1)
+    labels = np.asarray(labels)
+    same = hard[labels == 0]
+    other = hard[labels == 1]
+    same_purity = max((same == a).mean() for a in np.unique(hard))
+    other_purity = max((other == a).mean() for a in np.unique(hard))
+    assert same_purity > 0.7 and other_purity > 0.7, (same, other)
+
+
+def test_learnable_alpha_step_stays_finite():
+    Y, _, cfg, _, params = _setup(learn_alpha=True)
+    n = Y.shape[0]
+    opt = gp_optimizer(params, lr=1e-2)
+    step = dp_svi.make_dp_svi_step(cfg, n, opt, rho=0.3)
+    state = init_state(params, opt)
+    rng = jax.random.PRNGKey(5)
+    for _ in range(30):
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, sub, Y)
+    a = float(dp_svi.constrain(state.params)["alpha"])
+    assert np.isfinite(a) and a > 0
+    assert np.isfinite(float(dp_svi.elbo(state.params, Y, cfg)))
