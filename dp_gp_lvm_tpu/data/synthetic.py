@@ -99,19 +99,42 @@ def grouped_dims(rng, n=100, dims_per_group=(6, 6), q=3, noise=0.01,
 
 
 def grouped_dims_big(rng, n=65536, dims_per_group=(16, 16), q=4,
-                     noise=0.02, num_features=64, dtype=jnp.float64):
+                     noise=(0.01, 0.2, 0.05, 0.4), lengthscales=None,
+                     num_features=64, dtype=jnp.float64):
     """Big-N analogue of grouped_dims for the minibatch DP-SVI configs:
     groups of output dims, each driven by a different latent dim, drawn
     through random Fourier features (an O(n) approximation of the GP
     draw — grouped_dims' exact draw needs an (N, N) Cholesky and dies
-    past a few thousand rows). Returns (Y, labels, X)."""
+    past a few thousand rows).
+
+    At big N the latent posterior tightens, so latent-SUBSET structure
+    alone stops paying in the bound (the marginalization blur that
+    rewards per-group ARD pruning vanishes) and a single broad-ARD atom
+    becomes near-optimal — measured: both the collapsed model and DP-SVI
+    merge groups on a subset-only version of this data. Groups here
+    therefore also differ in observation NOISE and function LENGTHSCALE
+    (both per-atom parameters of the DP-GP-LVM, scalar noise_t and
+    ard_t): a one-atom solution must compromise log sigma^2 across
+    groups, an O(N) bound penalty that keeps the split identifiable at
+    any scale. noise/lengthscales: scalar or per-group sequence.
+
+    Returns (Y, labels, X)."""
     num_groups = len(dims_per_group)
+    if jnp.ndim(noise) == 0 or isinstance(noise, float):
+        noise = (float(noise),) * num_groups
+    if lengthscales is None:
+        # spread over ~an order of magnitude so per-group ARD differs
+        lengthscales = tuple(
+            0.5 * (2.0 ** (g % 3)) for g in range(num_groups)
+        )
     rngs = jax.random.split(rng, 2 * num_groups + 2)
     X = jax.random.normal(rngs[0], (n, q), dtype)
     Ys, labels = [], []
     for g, dg in enumerate(dims_per_group):
         x_g = X[:, g % q][:, None]                       # (n, 1)
-        w = jax.random.normal(rngs[2 * g + 1], (1, num_features), dtype)
+        w = jax.random.normal(
+            rngs[2 * g + 1], (1, num_features), dtype
+        ) / lengthscales[g]
         b = jax.random.uniform(
             rngs[2 * g + 2], (num_features,), dtype, 0.0, 2.0 * jnp.pi
         )
@@ -119,10 +142,15 @@ def grouped_dims_big(rng, n=65536, dims_per_group=(16, 16), q=4,
         amp = jax.random.normal(
             jax.random.fold_in(rngs[-1], g), (num_features, dg), dtype
         )
-        Ys.append(feats @ amp)
+        y_g = feats @ amp
+        y_g = y_g / y_g.std(axis=0)          # unit signal, THEN noise —
+        # so the per-group noise level survives the final standardization
+        y_g = y_g + noise[g] * jax.random.normal(
+            jax.random.fold_in(rngs[-1], 1000 + g), y_g.shape, dtype
+        )
+        Ys.append(y_g)
         labels += [g] * dg
     Y = jnp.concatenate(Ys, axis=1)
-    Y = Y + noise * jax.random.normal(rngs[-1], Y.shape, dtype)
     Y = (Y - Y.mean(axis=0)) / Y.std(axis=0)
     return Y, jnp.asarray(labels), X
 

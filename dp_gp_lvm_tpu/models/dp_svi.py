@@ -357,6 +357,10 @@ def set_optimal_qu(params, Y, config: Config):
 _BLEND_LEAVES = (
     "u_h", "u_lam", "phi_logits", "raw_gamma1", "raw_gamma2", "raw_alpha",
 )
+# with phi_update="gradient", phi_logits stays an optax leaf
+_BLEND_LEAVES_GRAD_PHI = (
+    "u_h", "u_lam", "raw_gamma1", "raw_gamma2", "raw_alpha",
+)
 
 
 def _guarded(params, updates: dict):
@@ -376,8 +380,10 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
                      rho_t0: float | None = None,
                      rho_kappa: float = 0.6,
                      rho_phi: float | None = None,
+                     phi_update: str = "gradient",
                      blend_at: str = "grad",
                      sample_idx=None,
+                     mesh=None,
                      policy: JitterPolicy | None = None):
     """One jitted DP-SVI step. Returns step(state, rng, Y) -> (state,
     metrics); Y stays device-resident, rows gathered by index.
@@ -386,14 +392,27 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
       labels give hypers lr/10 and q(X) exact NGD when ngd_lr is set);
     - q(u|t): per-atom natural-gradient blend of (h, Lambda) toward the
       batch-implied optimum, step rho (Robbins-Monro decay via rho_t0);
-    - phi: damped stochastic CAVI on logits (rho_phi, default = rho):
-      logits* = fhat_td + E[log pi_t] from the same scaled batch stats;
+    - phi: phi_update="gradient" (default) moves the logits by the
+      clipped optax gradient — the collapsed model's dynamics, slow
+      enough for atoms to differentiate. phi_update="cavi" is the
+      damped stochastic CAVI (rho_phi, default = rho): at big N the
+      per-dim free energies are O(N), so the CAVI optimum is one-hot
+      almost immediately; with near-symmetric atoms every dim then
+      picks the SAME atom and the mixture can collapse irreversibly —
+      use it near a good basin (e.g. after a gradient warm start);
     - gamma (and alpha if learned): exact CAVI given the new phi (their
       CAVI inputs are global — no batch noise — so no damping needed).
 
     blend_at: "grad" (default) reuses the gradient pass's per-atom
     whitened statistics — no second psi pass; "updated" recomputes them
-    at the post-gradient params (Hoffman ordering, ~2x psi work)."""
+    at the post-gradient params (Hoffman ordering, ~2x psi work).
+
+    mesh: a jax.sharding.Mesh routes the bound through
+    parallel.sharded_elbo.dp_svi_elbo_sharded — batch rows shard over
+    "data", atoms over "model", one psum per step; the natural-gradient
+    blend then operates on atom-sharded (a, A2) without a second pass.
+    Identical math to mesh=None (exactness tested in
+    tests/test_parallel.py)."""
     import optax
 
     from dp_gp_lvm_tpu.train.loop import TrainState
@@ -403,8 +422,16 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
         policy = policy._replace(max_tries=0)
     if blend_at not in ("updated", "grad"):
         raise ValueError(f"blend_at must be 'updated'|'grad', got {blend_at!r}")
+    if phi_update not in ("gradient", "cavi"):
+        raise ValueError(
+            f"phi_update must be 'gradient'|'cavi', got {phi_update!r}"
+        )
     rho_phi = rho if rho_phi is None else rho_phi
     learn_alpha = config.learn_alpha
+    blend_leaves = (
+        _BLEND_LEAVES_GRAD_PHI if phi_update == "gradient"
+        else _BLEND_LEAVES
+    )
 
     def rho_at(t):
         if rho_t0 is None:
@@ -420,6 +447,17 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
         scale = jnp.asarray(n_total / y_b.shape[0], y_b.dtype)
 
         def loss_with_stats(p):
+            if mesh is not None:
+                from dp_gp_lvm_tpu.parallel.sharded_elbo import (
+                    dp_svi_elbo_sharded,
+                )
+
+                elbo_v, (f_td, a_all, A2_all) = dp_svi_elbo_sharded(
+                    p, y_b, idx, n_total, config, mesh,
+                    policy=policy, with_aux=True,
+                )
+                beta = 1.0 / positive_noise(p["raw_noise"])
+                return -elbo_v, (a_all, A2_all, beta, f_td)
             c = constrain(p)
             mu_b = c["qx_mean"][idx]
             s_b = c["qx_var"][idx]
@@ -437,7 +475,7 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
         )(state.params)
         grads = {
             **grads,
-            **{k: jnp.zeros_like(grads[k]) for k in _BLEND_LEAVES
+            **{k: jnp.zeros_like(grads[k]) for k in blend_leaves
                if k in grads},
         }
         updates, opt_state = optimizer.update(
@@ -446,16 +484,8 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
         params = optax.apply_updates(state.params, updates)
 
         if blend_at == "updated":
+            _, (a_all, A2_all, beta, f_td) = loss_with_stats(params)
             c = constrain(params)
-            mu_b = c["qx_mean"][idx]
-            s_b = c["qx_var"][idx]
-            stats = _scale_stats(
-                _batch_stats(c, mu_b, s_b, y_b, config), scale
-            )
-            kl_x = scale * gaussian.kl_to_standard_normal(mu_b, s_b)
-            terms = _elbo_from_stats(c, stats, kl_x, config, policy)
-            a_all, A2_all, f_td = terms["_a"], terms["_A2"], terms["f_td"]
-            beta = 1.0 / c["noise"]
         else:
             a_all, A2_all, beta, f_td = aux
             c = constrain(params)
@@ -470,18 +500,22 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
             "u_h": (1.0 - rho_t) * c["u_h"] + rho_t * h_hat,
         }
 
-        # phi: damped stochastic CAVI on the categorical naturals
         alpha = c.get("alpha", jnp.asarray(config.alpha, f_td.dtype))
-        logits_star = f_td.T + stick_breaking.expected_log_pi(
-            c["gamma1"], c["gamma2"]
-        )[None, :]
-        rp = jnp.asarray(rho_phi, f_td.dtype)
-        new["phi_logits"] = (
-            (1.0 - rp) * params["phi_logits"] + rp * logits_star
-        )
+        if phi_update == "cavi":
+            # damped stochastic CAVI on the categorical naturals
+            logits_star = f_td.T + stick_breaking.expected_log_pi(
+                c["gamma1"], c["gamma2"]
+            )[None, :]
+            rp = jnp.asarray(rho_phi, f_td.dtype)
+            new["phi_logits"] = (
+                (1.0 - rp) * params["phi_logits"] + rp * logits_star
+            )
+            phi_new = jax.nn.softmax(new["phi_logits"], axis=-1)
+        else:
+            # gradient phi: optax already moved phi_logits above
+            phi_new = jax.nn.softmax(params["phi_logits"], axis=-1)
 
-        # gamma / alpha: exact CAVI given the blended phi
-        phi_new = jax.nn.softmax(new["phi_logits"], axis=-1)
+        # gamma / alpha: exact CAVI given the new phi
         g1, g2 = stick_breaking.gamma_cavi_update(phi_new, alpha)
         new["raw_gamma1"] = positive_inverse(g1)
         new["raw_gamma2"] = positive_inverse(g2)

@@ -499,6 +499,7 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
                           rho_kappa: float = 0.6,
                           blend_at: str = "updated",
                           sample_idx=None,
+                          mesh=None,
                           policy: JitterPolicy | None = None):
     """SVI step with Hoffman-style stochastic NATURAL-gradient q(u)
     updates (the canonical accelerator for this bound): hypers, inducing
@@ -528,7 +529,12 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
 
     sample_idx: optional (rng) -> (batch,) int array overriding the
     default with-replacement sampler (deterministic tests; custom
-    samplers)."""
+    samplers).
+
+    mesh: a jax.sharding.Mesh routes the bound through
+    parallel.sharded_elbo.svi_elbo_sharded (batch rows shard over
+    "data", one psum per step) and the blend reuses the psummed
+    whitened statistics. Identical math to mesh=None."""
     import optax
 
     from dp_gp_lvm_tpu.train.loop import TrainState
@@ -550,6 +556,17 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
         y_b = Y[idx]
 
         def loss_with_stats(p):
+            if mesh is not None:
+                from dp_gp_lvm_tpu.parallel.sharded_elbo import (
+                    svi_elbo_sharded,
+                )
+
+                bound, (a, A2) = svi_elbo_sharded(
+                    p, y_b, idx, n_total, config, mesh,
+                    policy=policy, with_aux=True,
+                )
+                beta = 1.0 / positive_noise(p["raw_noise"])
+                return -bound, (a, A2, beta)
             c = constrain(p)
             stats, kl_x = _scaled_batch_stats(c, y_b, idx, n_total, config)
             bound, a, A2 = _bound_and_whitened(c, stats, kl_x, policy)
@@ -571,11 +588,11 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
 
         if blend_at == "updated":
             # natural-gradient blend toward the batch-optimal q(u) at the
-            # UPDATED hypers/latents (Hoffman SVI ordering)
+            # UPDATED hypers/latents (Hoffman SVI ordering); routes
+            # through the mesh program when one is set (the discarded
+            # bound output is dead-code-eliminated under jit)
+            _, (a, A2, beta) = loss_with_stats(params)
             c = constrain(params)
-            stats, _ = _scaled_batch_stats(c, y_b, idx, n_total, config)
-            a, A2, _ = _whitened_terms(c, stats, policy)
-            beta = 1.0 / c["noise"]
         else:
             # reuse the gradient pass's whitened statistics (old params)
             a, A2, beta = aux

@@ -56,6 +56,43 @@ def dp_shardings(mesh: Mesh):
     return params, row
 
 
+def mrd_shardings(mesh: Mesh, num_views: int):
+    """MRD layout: q(X) and every view's rows over "data"; per-view
+    kernel/inducing params replicated."""
+    row = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    view = {"z": rep, "raw_variance": rep, "raw_ard": rep, "raw_noise": rep}
+    params = {
+        "qx_mean": row,
+        "raw_qx_var": row,
+        "views": [dict(view) for _ in range(num_views)],
+    }
+    return params, row
+
+
+def svi_shardings(mesh: Mesh, params):
+    """SVI-GPLVM layout: every param replicates (the full-N q(X) table is
+    gathered by batch index each step; batch rows shard INSIDE the step
+    program, parallel/sharded_elbo.svi_elbo_sharded). Data stays
+    replicated too — rows are gathered per step."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda _: rep, params), rep
+
+
+def dp_svi_shardings(mesh: Mesh, params):
+    """Minibatch DP-SVI layout: atom-stacked hypers and q(u|t) naturals
+    over "model"; q(X) table, phi, sticks replicated; batch rows shard
+    inside the step program (dp_svi_elbo_sharded)."""
+    atom = NamedSharding(mesh, P(MODEL_AXIS))
+    rep = NamedSharding(mesh, P())
+    atom_keys = ("z", "raw_variance", "raw_ard", "raw_noise",
+                 "u_h", "u_lam")
+    shard = {
+        k: (atom if k in atom_keys else rep) for k in params
+    }
+    return shard, rep
+
+
 def place(tree, shardings):
     """Device-put a pytree according to a matching shardings pytree."""
     return jax.tree_util.tree_map(

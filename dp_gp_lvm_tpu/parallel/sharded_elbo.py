@@ -288,7 +288,7 @@ def mrd_loss_sharded(params, Ys, config, mesh):
 
 def svi_elbo_sharded(
     params, y_batch, idx, n_total: int, config, mesh: Mesh,
-    policy: JitterPolicy = JitterPolicy(),
+    policy: JitterPolicy = JitterPolicy(), with_aux: bool = False,
 ):
     """Data-parallel minibatch SVI-GPLVM (models/svi_gplvm.py): the batch
     rows (and their latent indices) shard over "data"; the full-N q(X)
@@ -299,6 +299,11 @@ def svi_elbo_sharded(
     transposes replicated-input cotangents with a psum), so sharded
     minibatch training matches single-device exactly — and the two scale
     axes multiply: rows/step = batch x devices, each at O(B_local M^2).
+
+    with_aux=True additionally returns the (already psummed, replicated)
+    whitened batch statistics (a (M, D), A2 (M, M)) so the
+    natural-gradient q(u) blend (models/svi_gplvm.make_svi_natgrad_step
+    with mesh=...) reuses them without a second psi pass.
     """
     from dp_gp_lvm_tpu.models import svi_gplvm as svi
 
@@ -329,13 +334,14 @@ def svi_elbo_sharded(
         kl_x = scale * jax.lax.psum(
             gaussian.kl_to_standard_normal(mu_b, s_b), DATA_AXIS
         )
-        return svi._bound_from_stats(c, stats, kl_x, policy)
+        bound, a, A2 = svi._bound_and_whitened(c, stats, kl_x, policy)
+        return (bound, (a, A2)) if with_aux else bound
 
     sharded = jax.shard_map(
         program,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=P(),
+        out_specs=(P(), (P(), P())) if with_aux else P(),
         check_vma=False,
     )
     return sharded(params, y_batch, idx)
@@ -343,3 +349,94 @@ def svi_elbo_sharded(
 
 def svi_loss_sharded(params, y_batch, idx, n_total, config, mesh):
     return -svi_elbo_sharded(params, y_batch, idx, n_total, config, mesh)
+
+
+def dp_svi_elbo_sharded(
+    params, y_batch, idx, n_total: int, config, mesh: Mesh,
+    policy: JitterPolicy = JitterPolicy(), with_aux: bool = False,
+):
+    """2D-parallel minibatch DP-SVI (models/dp_svi.py): batch rows shard
+    over "data", truncation atoms over "model". Each device computes its
+    local atoms' partial SuffStats on its row shard (one fused batched
+    kernel when dispatch selects it), ONE psum over "data" forms the
+    global (N/B)-scaled batch statistics, the per-atom uncollapsed free
+    energies f_td evaluate on the atom shards, and the phi-weighted fit
+    psums over "model". The full-N q(X) table, phi, and stick params
+    replicate; per-atom hypers and q(u|t) naturals (u_h, u_lam) shard
+    over "model". Exact vs the single-device elbo_minibatch (tested).
+
+    with_aux=True additionally returns (f_td (T, D), a (T, M, D),
+    A2 (T, M, M)) — f_td/a/A2 concatenated over the model axis — for the
+    natural-gradient blend in make_dp_svi_step(mesh=...): no second psi
+    pass, and the blend's inputs are laid out atom-sharded already.
+    """
+    from dp_gp_lvm_tpu.models import dp_svi
+
+    b_total = y_batch.shape[0]
+    learn_alpha = "raw_alpha" in params
+
+    def program(p, y_b, ix):
+        c = dp_svi.constrain(p)          # atom leaves are LOCAL blocks
+        mu_b = c["qx_mean"][ix]
+        s_b = c["qx_var"][ix]
+        scale = jnp.asarray(n_total / b_total, y_b.dtype)
+        stats = dispatch.dp_batched_suffstats(
+            c["variance"], c["ard"], mu_b, s_b, c["z"], y_b,
+            block_n=config.psi2_block, use_pallas=config.use_pallas,
+            kernel=config.kernel,
+        )
+        stats = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, DATA_AXIS) * scale, stats
+        )
+        f_local, a_l, A2_l = dp_svi._free_energy_and_whitened(
+            c, stats, config, policy
+        )                                              # (Tl, D) / ...
+        t_local = f_local.shape[0]
+        t_index = jax.lax.axis_index(MODEL_AXIS) * t_local
+        phi = c["phi"]                                 # (D, T) replicated
+        phi_local = jax.lax.dynamic_slice_in_dim(
+            phi, t_index, t_local, axis=1
+        )
+        fit = jax.lax.psum(jnp.sum(phi_local * f_local.T), MODEL_AXIS)
+        kl_x = scale * jax.lax.psum(
+            gaussian.kl_to_standard_normal(mu_b, s_b), DATA_AXIS
+        )
+        alpha = c.get("alpha", jnp.asarray(config.alpha, y_b.dtype))
+        dp_terms = stick_breaking.dp_kl_terms(
+            phi, c["gamma1"], c["gamma2"], alpha
+        )
+        if learn_alpha:
+            dp_terms = dp_terms + stick_breaking.alpha_log_prior(alpha)
+        out = fit + dp_terms - kl_x
+        if config.hyperprior_std:
+            out = out + jax.lax.psum(
+                _log_normal_hyperprior(
+                    config.hyperprior_std, c["variance"], c["ard"],
+                    c["noise"],
+                ),
+                MODEL_AXIS,
+            )
+        return (out, (f_local, a_l, A2_l)) if with_aux else out
+
+    atom = P(MODEL_AXIS)
+    pspec = {
+        "qx_mean": P(), "raw_qx_var": P(),
+        "z": atom, "raw_variance": atom, "raw_ard": atom,
+        "raw_noise": atom, "u_h": atom, "u_lam": atom,
+        "phi_logits": P(), "raw_gamma1": P(), "raw_gamma2": P(),
+    }
+    if learn_alpha:
+        pspec["raw_alpha"] = P()
+    sharded = jax.shard_map(
+        program,
+        mesh=mesh,
+        in_specs=(pspec, P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), (atom, atom, atom)) if with_aux else P(),
+        check_vma=False,
+    )
+    return sharded(params, y_batch, idx)
+
+
+def dp_svi_loss_sharded(params, y_batch, idx, n_total, config, mesh):
+    return -dp_svi_elbo_sharded(params, y_batch, idx, n_total, config,
+                                mesh)

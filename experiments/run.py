@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--ckpt-every", type=int, default=0)
     ap.add_argument("--data-dir", default=None,
                     help="directory with real oil-flow / AMC files")
+    ap.add_argument("--mesh", default=None, metavar="DATA[,MODEL]",
+                    help="train on a device mesh: rows shard over the "
+                         "data axis, DP atoms over the model axis "
+                         "(parallel/recipe.py — the dryrun_multichip "
+                         "production recipe by name). DATAxMODEL must "
+                         "equal the visible device count.")
     ap.add_argument("--plots", action="store_true",
                     help="save latent/ARD/assignment plots to the out dir")
     ap.add_argument("--debug-nans", action="store_true",
@@ -101,6 +107,20 @@ def main():
     elif cfg.dataset == "pose":
         Y, _, _ = synthetic.pose_like(rng, n=cfg.n, dtype=dtype)
         tag = "synthetic:pose_like"
+        data = (Y,)
+    elif cfg.dataset == "grouped_big":
+        # 4 planted output-dim groups, each driven by a different latent
+        # dim, at any N (O(n) RFF draw — no (N, N) Cholesky)
+        per = cfg.d // 4
+        # default per-group noise/lengthscale contrasts (see the
+        # generator docstring: latent-subset structure alone stops being
+        # identifiable at big N)
+        Y, group_labels, _ = synthetic.grouped_dims_big(
+            rng, n=cfg.n,
+            dims_per_group=(per, per, per, cfg.d - 3 * per),
+            q=cfg.q, dtype=dtype,
+        )
+        tag = "synthetic:grouped_big"
         data = (Y,)
     elif cfg.dataset == "mocap":
         amc = None
@@ -179,11 +199,36 @@ def main():
         params = init_fn(rng)
         loss_fn = None          # stochastic: custom minibatch loop below
         terms_fn = lambda p: {"elbo": svi_gplvm.elbo(p, data[0], mcfg)}
+    elif cfg.model == "dp_svi":
+        from dp_gp_lvm_tpu.models import dp_svi
+
+        mcfg = dp_svi.Config(num_latent=cfg.q, num_inducing=cfg.m,
+                             truncation=cfg.t, alpha=cfg.alpha,
+                             batch=1024, psi2_block=cfg.psi2_block)
+        init_fn = lambda k: dp_svi.init_params(k, data[0], mcfg)
+        params = init_fn(rng)
+        loss_fn = None          # stochastic: custom minibatch loop below
+        terms_fn = lambda p: {"elbo": dp_svi.elbo(p, data[0], mcfg)}
     else:
         raise ValueError(cfg.model)
 
+    mesh = None
+    if args.mesh:
+        from dp_gp_lvm_tpu.parallel import mesh as mesh_lib, recipe
+
+        d_ax, m_ax = recipe.parse_mesh(args.mesh)
+        mesh = mesh_lib.make_mesh(data=d_ax, model=m_ax)
+        if loss_fn is not None:
+            loss_fn, params, data = recipe.sharded_setup(
+                cfg.model, params, data, mcfg, mesh
+            )
+        else:
+            params, data = recipe.place_svi(cfg.model, params, data, mesh)
+
     print(f"[{cfg.name}] data={tag} model={cfg.model} steps={steps} "
-          f"device={jax.devices()[0].device_kind}", flush=True)
+          f"device={jax.devices()[0].device_kind}"
+          + (f" mesh={args.mesh}" if mesh is not None else ""),
+          flush=True)
 
     # ---- train ------------------------------------------------------------
     from dp_gp_lvm_tpu.train.loop import gp_optimizer
@@ -192,7 +237,7 @@ def main():
     optimizer = gp_optimizer(params, lr=cfg.lr, decay_steps=steps,
                              ngd_lr=ngd_lr)
 
-    if cfg.model == "svi_gplvm":
+    if cfg.model in ("svi_gplvm", "dp_svi"):
         # stochastic minibatch loop: CHUNK steps per dispatch via
         # lax.scan with per-step rng (pattern of experiments/svi_scale.py)
         import optax as _optax
@@ -214,9 +259,17 @@ def main():
         # q(u) by stochastic natural gradient (measured ahead of Adam
         # at this scale for every rho in 0.05-0.5 —
         # results/svi_natgrad.json); hypers/latents by gradient.
-        nat_step = svi_gplvm.make_svi_natgrad_step(
-            mcfg, n_total, optimizer, rho=0.2
-        )
+        if cfg.model == "dp_svi":
+            from dp_gp_lvm_tpu.models import dp_svi
+
+            nat_step = dp_svi.make_dp_svi_step(
+                mcfg, n_total, optimizer, rho=0.3, rho_phi=0.1,
+                mesh=mesh,
+            )
+        else:
+            nat_step = svi_gplvm.make_svi_natgrad_step(
+                mcfg, n_total, optimizer, rho=0.2, mesh=mesh,
+            )
 
         def one(state, step_rng):
             state, metrics = nat_step(state, step_rng, Y_res)
@@ -292,7 +345,7 @@ def main():
     # optimum kills cross-view transfer) train from cfg.restarts init
     # seeds; keep the best final ELBO. The compiled multi_step is reused
     # across restarts — only the first pays the compile.
-    if cfg.model != "svi_gplvm":
+    if loss_fn is not None:
         t0 = time.time()
         state, best_elbo = train_from(
             params, " [r0]" if cfg.restarts > 1 else ""
@@ -300,6 +353,10 @@ def main():
         restart_elbos = [best_elbo]
         for r in range(1, cfg.restarts):
             p_r = init_fn(jax.random.PRNGKey(cfg.seed + r))
+            if mesh is not None:
+                _, p_r, _ = recipe.sharded_setup(
+                    cfg.model, p_r, data, mcfg, mesh
+                )
             state_r, elbo_r = train_from(p_r, f" [r{r}]")
             restart_elbos.append(elbo_r)
             if elbo_r > best_elbo:
@@ -414,6 +471,31 @@ def main():
         print(f"[{cfg.name}] imputation mse={mse:.4f} pll={pll:.4f} "
               f"({imp_s:.2f}s for {Y_test.shape[0]} rows, served from "
               f"q(u) alone)", flush=True)
+
+    if cfg.model == "dp_svi" and cfg.dataset == "grouped_big":
+        # planted-group recovery at scale: every planted group of output
+        # dims should concentrate on one atom (purity per group), and
+        # distinct groups on distinct atoms (the count of atoms covering
+        # all groups' argmaxes)
+        import numpy as _np
+
+        from dp_gp_lvm_tpu.models import dp_svi
+
+        phi = _np.asarray(dp_svi.expected_assignments(state.params))
+        hard = phi.argmax(axis=1)
+        lab = _np.asarray(group_labels)
+        purities, tops = [], []
+        for g in _np.unique(lab):
+            counts = _np.bincount(hard[lab == g], minlength=phi.shape[1])
+            purities.append(counts.max() / counts.sum())
+            tops.append(int(counts.argmax()))
+        result["group_purity_min"] = float(min(purities))
+        result["group_purities"] = [round(float(p), 4) for p in purities]
+        result["distinct_atoms_for_groups"] = len(set(tops))
+        result["num_groups"] = int(len(_np.unique(lab)))
+        print(f"[{cfg.name}] group purities={result['group_purities']} "
+              f"distinct atoms={result['distinct_atoms_for_groups']}/"
+              f"{result['num_groups']}", flush=True)
 
     from dp_gp_lvm_tpu.train.checkpoint import export_npz
 

@@ -290,3 +290,119 @@ def test_gspmd_dp_atom_sharding(toy):
     np.testing.assert_allclose(
         float(loss), float(dp_gp_lvm.loss(params, Y, cfg)), rtol=1e-9
     )
+
+
+def test_dp_svi_sharded_matches_single_device(toy):
+    """dp_svi_elbo_sharded on the 2D mesh equals elbo_minibatch —
+    values and gradients (batch rows over "data", atoms + q(u|t)
+    naturals over "model")."""
+    from dp_gp_lvm_tpu.models import dp_svi
+    from dp_gp_lvm_tpu.parallel.sharded_elbo import (
+        dp_svi_elbo_sharded,
+        dp_svi_loss_sharded,
+    )
+
+    Y = toy
+    cfg = dp_svi.Config(num_latent=3, num_inducing=8, truncation=4,
+                        batch=16)
+    params = dp_svi.init_params(jax.random.PRNGKey(2), Y, cfg)
+    params = dp_svi.set_optimal_qu(params, Y, cfg)
+    n = Y.shape[0]
+    idx = jnp.arange(0, 16)
+    y_b = Y[idx]
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    single = float(dp_svi.elbo_minibatch(params, y_b, idx, n, cfg))
+    sharded = float(dp_svi_elbo_sharded(params, y_b, idx, n, cfg, mesh))
+    np.testing.assert_allclose(sharded, single, rtol=1e-8)
+    g1 = jax.grad(
+        lambda p: dp_svi.loss_minibatch(p, y_b, idx, n, cfg)
+    )(params)
+    g2 = jax.grad(
+        lambda p: dp_svi_loss_sharded(p, y_b, idx, n, cfg, mesh)
+    )(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        )
+
+
+def test_dp_svi_sharded_step_matches_unsharded(toy):
+    """make_dp_svi_step(mesh=...) reproduces the unsharded step exactly:
+    same deterministic batch, same loss trajectory and parameters."""
+    from dp_gp_lvm_tpu.models import dp_svi
+    from dp_gp_lvm_tpu.parallel import recipe
+    from dp_gp_lvm_tpu.train.loop import gp_optimizer, init_state
+
+    Y = toy
+    n = Y.shape[0]
+    cfg = dp_svi.Config(num_latent=3, num_inducing=8, truncation=4,
+                        batch=16)
+    params = dp_svi.init_params(jax.random.PRNGKey(2), Y, cfg)
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    det_idx = lambda rng: jax.random.randint(rng, (16,), 0, n)
+
+    opt = gp_optimizer(params, lr=1e-2, ngd_lr=1.0)
+    step_1d = dp_svi.make_dp_svi_step(cfg, n, opt, rho=0.5,
+                                      sample_idx=det_idx)
+    step_nd = dp_svi.make_dp_svi_step(cfg, n, opt, rho=0.5,
+                                      sample_idx=det_idx, mesh=mesh)
+
+    s1 = init_state(params, opt)
+    p_m, (Y_m,) = recipe.place_svi("dp_svi", params, (Y,), mesh)
+    s2 = init_state(p_m, opt)
+    rng = jax.random.PRNGKey(9)
+    for k in range(3):
+        rng, sub = jax.random.split(rng)
+        s1, m1 = step_1d(s1, sub, Y)
+        s2, m2 = step_nd(s2, sub, Y_m)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-7
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+        )
+
+
+def test_svi_natgrad_step_mesh_matches(toy):
+    """make_svi_natgrad_step(mesh=...) equals the unsharded step."""
+    from dp_gp_lvm_tpu.models import svi_gplvm
+    from dp_gp_lvm_tpu.parallel import recipe
+    from dp_gp_lvm_tpu.train.loop import gp_optimizer, init_state
+
+    Y = toy
+    n = Y.shape[0]
+    cfg = svi_gplvm.Config(num_latent=3, num_inducing=8, batch=16)
+    params = svi_gplvm.init_params(jax.random.PRNGKey(2), Y, cfg)
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    det_idx = lambda rng: jax.random.randint(rng, (16,), 0, n)
+
+    opt = gp_optimizer(params, lr=1e-2, ngd_lr=1.0)
+    step_1d = svi_gplvm.make_svi_natgrad_step(cfg, n, opt, rho=0.5,
+                                              sample_idx=det_idx)
+    step_nd = svi_gplvm.make_svi_natgrad_step(cfg, n, opt, rho=0.5,
+                                              sample_idx=det_idx,
+                                              mesh=mesh)
+    s1 = init_state(params, opt)
+    p_m, (Y_m,) = recipe.place_svi("svi_gplvm", params, (Y,), mesh)
+    s2 = init_state(p_m, opt)
+    rng = jax.random.PRNGKey(11)
+    for k in range(3):
+        rng, sub = jax.random.split(rng)
+        s1, m1 = step_1d(s1, sub, Y)
+        s2, m2 = step_nd(s2, sub, Y_m)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-7
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+        )
