@@ -20,22 +20,48 @@ import jax.numpy as jnp
 
 from dp_gp_lvm_tpu.models import bgplvm, dp_gp_lvm, mrd, prediction
 
+# Measured unroll-vs-tol crossover (results/serving_bench.json, TPU
+# v5e at the mocap serving scale): tol early-stopping wins at batch 1
+# but the convergence predicate is batch-global — the slowest row
+# governs the early exit, and the lax.cond bookkeeping costs ~1.3x the
+# plain step — so from ~batch 8 the fixed unroll is faster. "auto" mode
+# (the default) picks per compiled batch shape: tol at
+# batch <= TOL_MAX_BATCH, fixed unroll beyond. Batch size is static
+# under jit, so the choice costs nothing at serving time.
+TOL_MAX_BATCH = 4
+AUTO_TOL = 1e-5
+AUTO_TOL_CAP = 300      # step cap in tol mode (early exit governs)
+
+
+def _resolve(tol, num_steps, batch: int):
+    """(tol, num_steps) for one compiled batch shape. tol="auto" picks
+    the measured-faster mode for this batch size; an explicit float or
+    None is always honored as given."""
+    if tol == "auto":
+        if batch <= TOL_MAX_BATCH:
+            return AUTO_TOL, max(num_steps, AUTO_TOL_CAP)
+        return None, num_steps
+    return tol, num_steps
+
 
 def make_bgplvm_imputer(
     params, Y, config: bgplvm.Config, num_steps: int = 150, lr: float = 0.05,
-    tol: float | None = None,
+    tol: float | str | None = "auto",
 ) -> Callable:
-    """Returns jitted `impute(y_star, mask) -> (mean, var)`. `tol`
-    enables early-stopped latent inference (num_steps stays the cap)."""
+    """Returns jitted `impute(y_star, mask) -> (mean, var)`. tol="auto"
+    (default) serves each batch size in its measured-faster mode; a
+    float forces early-stopping, None forces the fixed unroll
+    (num_steps stays the cap either way)."""
     cache = prediction.bgplvm_posterior(params, Y, config)
     qx_mean = params["qx_mean"]
 
     @jax.jit
     def impute(y_star, mask):
+        t, steps = _resolve(tol, num_steps, y_star.shape[0])
         m0 = prediction.init_latent_from_nearest(qx_mean, Y, y_star, mask)
         m_s, s_s, _ = prediction.infer_latent(
-            cache, y_star, mask, m0, num_steps, lr, kernel=config.kernel,
-            tol=tol,
+            cache, y_star, mask, m0, steps, lr, kernel=config.kernel,
+            tol=t,
         )
         return prediction.predict_from_latent(
             cache, m_s, s_s, kernel=config.kernel
@@ -46,18 +72,21 @@ def make_bgplvm_imputer(
 
 def make_dp_imputer(
     params, Y, config: dp_gp_lvm.Config, num_steps: int = 150,
-    lr: float = 0.05, tol: float | None = None,
+    lr: float = 0.05, tol: float | str | None = "auto",
 ) -> Callable:
-    """Returns jitted `impute(y_star, mask) -> (mean, var)` mixing atoms."""
+    """Returns jitted `impute(y_star, mask) -> (mean, var)` mixing atoms.
+    tol="auto" (default) picks the measured-faster latent-inference mode
+    per batch size (see module constants)."""
     caches, phi = prediction.dp_posterior(params, Y, config)
     qx_mean = params["qx_mean"]
 
     @jax.jit
     def impute(y_star, mask):
+        t, steps = _resolve(tol, num_steps, y_star.shape[0])
         m0 = prediction.init_latent_from_nearest(qx_mean, Y, y_star, mask)
         m_s, s_s, _ = prediction.dp_infer_latent(
-            caches, phi, y_star, mask, m0, num_steps, lr,
-            kernel=config.kernel, tol=tol,
+            caches, phi, y_star, mask, m0, steps, lr,
+            kernel=config.kernel, tol=t,
         )
         return prediction.dp_predict_from_latent(
             caches, phi, m_s, s_s, kernel=config.kernel
@@ -68,7 +97,7 @@ def make_dp_imputer(
 
 def make_mrd_cross_view_predictor(
     params, Ys, config: mrd.Config, observed_view: int, target_view: int,
-    num_steps: int = 150, lr: float = 0.05, tol: float | None = None,
+    num_steps: int = 150, lr: float = 0.05, tol: float | str | None = "auto",
 ) -> Callable:
     """Returns jitted `predict(y_observed_view) -> (mean, var)`."""
     caches = prediction.mrd_posterior(params, Ys, config)
@@ -77,13 +106,14 @@ def make_mrd_cross_view_predictor(
 
     @jax.jit
     def predict(y_obs):
+        t, steps = _resolve(tol, num_steps, y_obs.shape[0])
         mask = jnp.ones_like(y_obs)
         m0 = prediction.init_latent_from_nearest(
             qx_mean, Y_obs_train, y_obs, mask
         )
         m_s, s_s, _ = prediction.mrd_infer_latent(
-            caches, {observed_view: y_obs}, m0, num_steps, lr,
-            kernel=config.kernel, tol=tol,
+            caches, {observed_view: y_obs}, m0, steps, lr,
+            kernel=config.kernel, tol=t,
         )
         return prediction.predict_from_latent(
             caches[target_view], m_s, s_s, kernel=config.kernel

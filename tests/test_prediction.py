@@ -153,7 +153,7 @@ def test_serving_imputer_matches_pipeline(trained_bgplvm):
         params, Y_train, cfg, Y_test, mask, num_steps=50, lr=0.05
     )
     imputer = serving.make_bgplvm_imputer(
-        params, Y_train, cfg, num_steps=50, lr=0.05
+        params, Y_train, cfg, num_steps=50, lr=0.05, tol=None,
     )
     mean, var = imputer(Y_test, mask)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref),
@@ -164,6 +164,18 @@ def test_serving_imputer_matches_pipeline(trained_bgplvm):
     mask2 = jnp.zeros((Y_test.shape[0], d)).at[:, 1::2].set(1.0)
     mean2, var2 = imputer(Y_test, mask2)
     assert bool(jnp.all(jnp.isfinite(mean2)))
+    # default "auto" mode: tol early-stopping at small batch, fixed
+    # unroll at large (models/serving.py crossover constants) — both
+    # paths produce finite, close-to-reference imputations
+    imputer_auto = serving.make_bgplvm_imputer(
+        params, Y_train, cfg, num_steps=50, lr=0.05,
+    )
+    m_small, v_small = imputer_auto(Y_test[:2], mask[:2])
+    m_large, v_large = imputer_auto(Y_test, mask)
+    assert bool(jnp.all(jnp.isfinite(m_small)))
+    assert bool(jnp.all(v_small > 0))
+    np.testing.assert_allclose(np.asarray(m_large), np.asarray(mean_ref),
+                               rtol=1e-6, atol=1e-8)
 
 
 def test_serving_mrd_cross_view_predictor():
