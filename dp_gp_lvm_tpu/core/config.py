@@ -61,10 +61,15 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # private_weight=0.5 — see data/synthetic.two_view): at the round-1
     # settings (1-of-2 active dims shared, 2000 steps) MRD reliably falls
     # into the "independent encodings" local optimum (each view encodes
-    # its signal in disjoint latent dims; cross-view ratio ~1.0) and the
-    # RBF marginalization ceiling caps the metric at ~0.42 anyway. The
+    # its signal in disjoint latent dims; cross-view ratio ~1.0). The
     # calibrated recipe recovers shared structure: measured cross-view
-    # MSE ratio 0.64 (self-recon 0.07, both-view bound 0.23).
+    # MSE ratio 0.645. Ceiling analysis (experiments/mrd_ceiling.py,
+    # results/mrd_ceiling.json): an EXACT GP given the held-out rows'
+    # TRUE shared latents reaches 0.485 on this protocol (theory floor
+    # 0.293 at infinite data), so the recipe sits within ~1.3x of a
+    # ceiling that excludes latent-inference error. (An earlier comment
+    # cited a "both-view bound ~0.23" — retracted: observing both views
+    # leaks the target's private coordinate; not a cross-view ceiling.)
     "c3_mrd_twoview": ExperimentConfig(
         name="c3_mrd_twoview", model="mrd", dataset="two_view",
         n=256, d=16, q=4, m=32, views=(8, 8), steps=8000, lr=2e-2,
@@ -138,11 +143,14 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
     "c2_sparse_oil": {
         "elbo": (">=", -9000.0),
     },
-    # calibrated on the 2026-08-17 TPU run: elbo -4221, ratio 0.637
+    # calibrated on the 2026-08-17 TPU runs: elbo -4087, ratio 0.645,
+    # pll/dim -1.100; oracle ceiling 0.485 (results/mrd_ceiling.json)
     "c3_mrd_twoview": {
         "elbo": (">=", -4700.0),
         # cross-view prediction must beat predicting the training mean
-        "cross_view_mse_ratio": ("<=", 0.75),
+        # (measured 0.645 vs true-latent oracle 0.485 on this protocol)
+        "cross_view_mse_ratio": ("<=", 0.70),
+        "cross_view_pll_per_dim": (">=", -1.3),
     },
     # calibrated on the 2026-08-17 NGD run: elbo +10075
     "c4_dp_mocap": {
