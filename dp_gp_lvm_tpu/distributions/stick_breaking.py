@@ -72,14 +72,26 @@ def expected_assignment_log_prior(phi, gamma1, gamma2):
     return jnp.sum(phi @ expected_log_pi(gamma1, gamma2))
 
 
-def dp_kl_terms(phi, gamma1, gamma2, alpha):
+def dp_kl_terms(phi, gamma1, gamma2, alpha, logits=None):
     """Total DP contribution to the ELBO (to be *added*):
 
     E_q[log p(z|v)] + H[q(z)] - KL[q(v)||p(v)].
-    """
+
+    Pass the unnormalized assignment `logits` when phi = softmax(logits)
+    and the entropy must stay differentiable at saturation: per-dim free
+    energies are O(N), so at big N the logit gaps saturate softmax to
+    exact zeros, where xlogy's value is fine but its gradient is
+    -inf * (softmax jacobian 0) = NaN — one saturated dim then NaNs the
+    whole gradient and apply_if_finite freezes every hyper. The
+    log_softmax form is exact and finite everywhere."""
+    if logits is not None:
+        lsm = jax.nn.log_softmax(logits, axis=-1)
+        entropy = -jnp.sum(phi * lsm)
+    else:
+        entropy = assignment_entropy(phi)
     return (
         expected_assignment_log_prior(phi, gamma1, gamma2)
-        + assignment_entropy(phi)
+        + entropy
         - beta_kl(gamma1, gamma2, alpha)
     )
 

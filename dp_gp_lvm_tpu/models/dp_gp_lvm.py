@@ -195,7 +195,8 @@ def elbo_terms(params, Y, config: Config, policy: JitterPolicy = JitterPolicy())
     fit = jnp.sum(phi * f_td.T)
     alpha = hyp.get("alpha", jnp.asarray(config.alpha, Y.dtype))
     dp = stick_breaking.dp_kl_terms(
-        phi, hyp["gamma1"], hyp["gamma2"], alpha
+        phi, hyp["gamma1"], hyp["gamma2"], alpha,
+        logits=params["phi_logits"],
     )
     if "alpha" in hyp:
         dp = dp + stick_breaking.alpha_log_prior(alpha)

@@ -107,6 +107,14 @@ class Config(NamedTuple):
     fast_chol: bool = False
     hyperprior_std: float = 0.0
     learn_alpha: bool = False
+    ard_init: float | None = None  # ARD weight at init (None = 1.0).
+    #                                ~1/Q keeps cold-init kernel
+    #                                distances O(1) over Q latent dims —
+    #                                at big N the fit floor (and with it
+    #                                group separability) depends on ARD
+    #                                pruning reaching the data scale,
+    #                                and pruning from 1.0 at the hyper
+    #                                learning rate is the bottleneck.
 
 
 def init_params(rng, Y, config: Config):
@@ -119,7 +127,8 @@ def init_params(rng, Y, config: Config):
     r_z, r_phi, r_hyp = jax.random.split(rng, 3)
     x0 = pca_latents(Y, q).astype(dtype)
     z0 = inducing_from_latents(r_z, x0, m)
-    ard0 = jnp.ones((t, q), dtype) * (
+    ard_scale = 1.0 if config.ard_init is None else config.ard_init
+    ard0 = ard_scale * jnp.ones((t, q), dtype) * (
         1.0 + 0.05 * jax.random.normal(r_hyp, (t, q), dtype)
     )
     params = {
@@ -154,6 +163,8 @@ def constrain(params):
         "ard": positive(params["raw_ard"]),
         "noise": positive_noise(params["raw_noise"]),
         "phi": jax.nn.softmax(params["phi_logits"], axis=-1),
+        "phi_logits": params["phi_logits"],   # for the saturation-stable
+        #                                       entropy in dp_kl_terms
         "gamma1": positive(params["raw_gamma1"], 1e-4),
         "gamma2": positive(params["raw_gamma2"], 1e-4),
         # naturals pass through; symmetrize Lambda (blends preserve
@@ -191,6 +202,44 @@ def _atom_whitened(c, p1y, p2, config: Config, policy: JitterPolicy):
     return jax.vmap(one)(c["variance"], c["ard"], c["z"], p1y, p2)
 
 
+def _lam_cholesky(lam_t):
+    """Cholesky of a q(u|t) precision Lambda with an absolute-ridge
+    escalation sized to the Loewner floor Lambda >= I.
+
+    In exact arithmetic Lambda >= I by construction (init I; every
+    natural-gradient blend target I + beta*A2_hat >= I; convex blends
+    preserve the floor), so no jitter is needed and the closed-form
+    collapsed-bound oracle (tests/test_dp_svi.py) holds exactly. In f32
+    the floor is BREACHED outright: the (N/B)-scaled whitened second
+    moment A2_hat carries roundoff ~eps*||A2||, and beta*scale amplifies
+    it — measured eigmin(Lambda) down to -4.3 (f64 eigh) on well-fit
+    low-noise atoms at N=32k, so a jitter *relative to the huge diagonal*
+    either misses the deficit or crushes the prior-dominated (eig ~ 1)
+    directions. The repair escalates an ABSOLUTE ridge in units of the
+    guaranteed I floor (0, 1, 8, 64, then 3e-3*meandiag as an adaptive
+    last resort for much larger N): negligible against data-dominated
+    eigenvalues (~1e5), bounded distortion of the prior-dominated ones.
+
+    The rung is chosen from stop_gradient PROBE factorizations and only
+    one differentiated Cholesky runs on the repaired input — a plain
+    where()-retry keeps the failed factorization in the graph, and the
+    Cholesky VJP of a NaN primal is NaN even under a zero cotangent,
+    silently freezing every hyper via apply_if_finite (the r3 c7
+    deadlock: noises pinned at their split values for 2500 steps)."""
+    m = lam_t.shape[-1]
+    eye = jnp.eye(m, dtype=lam_t.dtype)
+    frozen = jax.lax.stop_gradient(lam_t)
+    adaptive = 3e-3 * jnp.mean(jnp.diagonal(frozen))
+    ridge = adaptive
+    for r in (64.0, 8.0, 1.0, 0.0):
+        probe = jnp.linalg.cholesky(frozen + r * eye)
+        ridge = jnp.where(
+            jnp.all(jnp.isfinite(probe)), jnp.asarray(r, lam_t.dtype),
+            ridge,
+        )
+    return jnp.linalg.cholesky(lam_t + ridge * eye)
+
+
 def per_dim_free_energy(c, stats, config: Config, policy: JitterPolicy):
     """f (T, D): per-atom per-dim uncollapsed free energies
     fit_td - KL_td at the current q(u|t), from (possibly scaled)
@@ -213,14 +262,8 @@ def _free_energy_and_whitened(c, stats, config: Config,
 
     def one(noise_t, p0_t, a_t, A2_t, h_t, lam_t):
         beta = 1.0 / noise_t
+        Llam = _lam_cholesky(lam_t)
         m = lam_t.shape[0]
-        # S_t = Lambda_t^{-1} via UNJITTERED Cholesky: Lambda >= I in the
-        # Loewner order by construction (init I; every blend target
-        # I + beta A2_hat >= I; convex combinations preserve it), so the
-        # factorization cannot fail and jitter would break the exact
-        # collapsed-bound oracle (tests/test_dp_svi.py). Non-finite
-        # fallout from a corrupted Lambda is caught by _guarded.
-        Llam = jnp.linalg.cholesky(lam_t)
         eye = jnp.eye(m, dtype=lam_t.dtype)
         linv = tri_solve(Llam, eye)
         S = jnp.dot(linv.T, linv, precision=_HIGHEST)
@@ -257,7 +300,8 @@ def _elbo_from_stats(c, stats, kl_x, config: Config,
     phi = c["phi"]                                            # (D, T)
     fit = jnp.sum(phi * f_td.T)
     alpha = c.get("alpha", jnp.asarray(config.alpha, f_td.dtype))
-    dp = stick_breaking.dp_kl_terms(phi, c["gamma1"], c["gamma2"], alpha)
+    dp = stick_breaking.dp_kl_terms(phi, c["gamma1"], c["gamma2"], alpha,
+                                    logits=c["phi_logits"])
     if "alpha" in c:
         dp = dp + stick_breaking.alpha_log_prior(alpha)
     hp = _log_normal_hyperprior(
@@ -536,3 +580,48 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
 def expected_assignments(params):
     """phi (D, T): posterior over output-dimension group assignments."""
     return jax.nn.softmax(params["phi_logits"], axis=-1)
+
+
+def split_single_atom(params, config: Config, spread: float = 1.5,
+                      min_noise: float = 2e-4):
+    """Split initialization: clone a trained truncation-1 model into
+    config.truncation atoms that differ ONLY in a log-spread noise level
+    around the learned one, with phi exactly uniform and gamma at its
+    CAVI fixed point.
+
+    Why: cold multi-atom training sits on a symmetric saddle — with
+    near-uniform phi every atom receives the same phi-weighted hyper
+    gradient, atoms never differentiate, phi has no reason to move, and
+    the mixture collapses to one atom regardless of phi dynamics
+    (measured at N=32k on every damped-CAVI and gradient-phi variant,
+    r3 notes). Training the fit ONCE at T=1 (exactly svi_gplvm — the
+    proven big-N path), then cloning with a noise spread, starts every
+    atom equally WELL-FIT, so the subsequent damped-CAVI reassignment
+    is driven purely by each dim's residual-vs-noise match — the one
+    per-atom parameter a single atom cannot absorb. Measured: recovers
+    all 4 planted noise groups at N=32k where every cold start
+    collapses (the c7_dp_svi recipe, experiments/run.py).
+
+    Returns params for a truncation=config.truncation model."""
+    t = config.truncation
+    out = {}
+    for k, v in params.items():
+        if k in ("z", "raw_variance", "raw_ard", "raw_noise",
+                 "u_h", "u_lam"):
+            out[k] = jnp.broadcast_to(v[0][None], (t,) + v.shape[1:]).copy()
+        else:
+            out[k] = v
+    noise1 = positive_noise(params["raw_noise"])[0] + 1e-6
+    factors = jnp.exp(jnp.linspace(-spread, spread, t))
+    out["raw_noise"] = positive_inverse(
+        jnp.maximum(noise1 * factors, min_noise).astype(noise1.dtype)
+    )
+    d = params["phi_logits"].shape[0]
+    out["phi_logits"] = jnp.zeros((d, t), params["phi_logits"].dtype)
+    g1, g2 = stick_breaking.gamma_cavi_update(
+        jax.nn.softmax(out["phi_logits"], axis=-1),
+        jnp.asarray(config.alpha, out["phi_logits"].dtype),
+    )
+    out["raw_gamma1"] = positive_inverse(g1)
+    out["raw_gamma2"] = positive_inverse(g2)
+    return out

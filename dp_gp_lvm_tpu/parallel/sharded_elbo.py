@@ -185,6 +185,7 @@ def dp_elbo_sharded(
         dp_terms = stick_breaking.dp_kl_terms(
             phi, positive(p["raw_gamma1"], 1e-4),
             positive(p["raw_gamma2"], 1e-4), alpha,
+            logits=p["phi_logits"],
         )
         if learn_alpha:
             dp_terms = dp_terms + stick_breaking.alpha_log_prior(alpha)
@@ -403,7 +404,8 @@ def dp_svi_elbo_sharded(
         )
         alpha = c.get("alpha", jnp.asarray(config.alpha, y_b.dtype))
         dp_terms = stick_breaking.dp_kl_terms(
-            phi, c["gamma1"], c["gamma2"], alpha
+            phi, c["gamma1"], c["gamma2"], alpha,
+            logits=c["phi_logits"],
         )
         if learn_alpha:
             dp_terms = dp_terms + stick_breaking.alpha_log_prior(alpha)

@@ -202,9 +202,13 @@ def main():
     elif cfg.model == "dp_svi":
         from dp_gp_lvm_tpu.models import dp_svi
 
+        # ard_init ~ 1/Q keeps cold-init kernel distances O(1) so stage-1
+        # ARD pruning reaches the data scale within the step budget
+        # (dp_svi.Config.ard_init); batch=2048 is the tuned c7 recipe.
         mcfg = dp_svi.Config(num_latent=cfg.q, num_inducing=cfg.m,
                              truncation=cfg.t, alpha=cfg.alpha,
-                             batch=1024, psi2_block=cfg.psi2_block)
+                             batch=2048, psi2_block=cfg.psi2_block,
+                             ard_init=1.0 / cfg.q)
         init_fn = lambda k: dp_svi.init_params(k, data[0], mcfg)
         params = init_fn(rng)
         loss_fn = None          # stochastic: custom minibatch loop below
@@ -222,8 +226,11 @@ def main():
             loss_fn, params, data = recipe.sharded_setup(
                 cfg.model, params, data, mcfg, mesh
             )
-        else:
+        elif not (cfg.model == "dp_svi" and mcfg.truncation > 1):
             params, data = recipe.place_svi(cfg.model, params, data, mesh)
+        # staged dp_svi (truncation > 1) defers placement: stage 1 trains
+        # a truncation-1 model (atoms can't shard over "model" yet); the
+        # split params are placed on the mesh before stage 2 below.
 
     print(f"[{cfg.name}] data={tag} model={cfg.model} steps={steps} "
           f"device={jax.devices()[0].device_kind}"
@@ -256,62 +263,111 @@ def main():
         if chunk >= steps:
             chunk = max(1, steps // 2)
 
+        def drive(nat_step, state, n_steps, rng_run, label=""):
+            """Run n_steps through chunked lax.scan dispatches; returns
+            (state, post-compile s/step, wall seconds)."""
+            def one(st, step_rng):
+                st, metrics = nat_step(st, step_rng, Y_res)
+                return st, metrics["loss"]
+
+            @jax.jit
+            def svi_multi(st, chunk_rng):
+                return jax.lax.scan(
+                    one, st, jax.random.split(chunk_rng, chunk)
+                )
+
+            t0 = time.time()
+            done = 0
+            t_post = None
+            while done < n_steps:
+                rng_run, sub = jax.random.split(rng_run)
+                state, losses = svi_multi(state, sub)
+                jax.block_until_ready(losses)
+                if t_post is None:
+                    t_post = time.time()   # exclude the compile chunk
+                done += chunk
+                elbo_now = -float(losses[-1])
+                logger.log(done - 1, elbo_estimate=elbo_now)
+                print(f"  {label}step {done - 1}: "
+                      f"elbo_estimate={elbo_now:.4g}", flush=True)
+            timed_steps = done - chunk     # steps after the compile chunk
+            per_step = ((time.time() - t_post) / timed_steps
+                        if timed_steps > 0 else float("nan"))
+            return state, per_step, time.time() - t0
+
         # q(u) by stochastic natural gradient (measured ahead of Adam
         # at this scale for every rho in 0.05-0.5 —
         # results/svi_natgrad.json); hypers/latents by gradient.
-        if cfg.model == "dp_svi":
+        rng_run = jax.random.PRNGKey(cfg.seed + 100)
+        result_extra = {"batch": mcfg.batch}
+        restart_elbos = []
+        if cfg.model == "dp_svi" and mcfg.truncation > 1:
             from dp_gp_lvm_tpu.models import dp_svi
 
+            # SPLIT-INIT staged recipe (dp_svi.split_single_atom): cold
+            # multi-atom starts sit on a symmetric saddle — near-uniform
+            # phi gives every atom the same phi-weighted gradient, atoms
+            # never differentiate, and the mixture collapses to one atom
+            # (measured at N=32k on every cold phi variant). Stage 1
+            # trains the shared fit ONCE at truncation=1 (exactly the
+            # proven big-N SVI path); stage 2 clones it across a
+            # log-spread of noise levels and reassigns dims by damped
+            # stochastic CAVI, driven purely by residual-vs-noise match.
+            s1_steps = max(chunk, (int(steps * 0.7) // chunk) * chunk)
+            s2_steps = max(chunk, steps - s1_steps)
+            mcfg1 = mcfg._replace(truncation=1)
+            params1 = dp_svi.init_params(rng, Y_res, mcfg1)
+            opt1 = gp_optimizer(params1, lr=cfg.lr, decay_steps=s1_steps,
+                                ngd_lr=ngd_lr)
+            step1 = dp_svi.make_dp_svi_step(mcfg1, n_total, opt1, rho=0.3)
+            rng_run, r1, r2 = jax.random.split(rng_run, 3)
+            state, ps1, tt1 = drive(step1, init_state(params1, opt1),
+                                    s1_steps, r1, label="[stage1 T=1] ")
+            params = dp_svi.split_single_atom(state.params, mcfg)
+            if mesh is not None:
+                from dp_gp_lvm_tpu.parallel import recipe
+
+                params, (Y_res,) = recipe.place_svi(
+                    "dp_svi", params, (Y_res,), mesh
+                )
+            opt2 = gp_optimizer(params, lr=cfg.lr, decay_steps=s2_steps,
+                                ngd_lr=ngd_lr)
             nat_step = dp_svi.make_dp_svi_step(
-                mcfg, n_total, optimizer, rho=0.3, rho_phi=0.1,
-                mesh=mesh,
+                mcfg, n_total, opt2, rho=0.3, rho_phi=0.2,
+                phi_update="cavi", mesh=mesh,
             )
+            state, per_step, tt2 = drive(
+                nat_step, init_state(params, opt2), s2_steps, r2,
+                label=f"[stage2 T={mcfg.truncation}] ",
+            )
+            optimizer = opt2        # downstream (checkpoint/export) state
+            total = tt1 + tt2
+            result_extra["stage1_steps"] = s1_steps
+            result_extra["stage2_steps"] = s2_steps
+            result_extra["recipe"] = ("split-init (T=1 warm start + "
+                                      "noise-spread clone + damped CAVI)")
         else:
-            nat_step = svi_gplvm.make_svi_natgrad_step(
-                mcfg, n_total, optimizer, rho=0.2, mesh=mesh,
+            if cfg.model == "dp_svi":
+                from dp_gp_lvm_tpu.models import dp_svi
+
+                nat_step = dp_svi.make_dp_svi_step(
+                    mcfg, n_total, optimizer, rho=0.3, rho_phi=0.1,
+                    mesh=mesh,
+                )
+            else:
+                nat_step = svi_gplvm.make_svi_natgrad_step(
+                    mcfg, n_total, optimizer, rho=0.2, mesh=mesh,
+                )
+            rng_run, r1 = jax.random.split(rng_run)
+            state, per_step, total = drive(
+                nat_step, init_state(params, optimizer), steps, r1
             )
-
-        def one(state, step_rng):
-            state, metrics = nat_step(state, step_rng, Y_res)
-            return state, metrics["loss"]
-
-        @jax.jit
-        def svi_multi(state, chunk_rng):
-            return jax.lax.scan(
-                one, state, jax.random.split(chunk_rng, chunk)
-            )
-
-        state = init_state(params, optimizer)
-        rng_run = jax.random.PRNGKey(cfg.seed + 100)
-        t0 = time.time()
-        done = 0
-        t_post = None
-        while done < steps:
-            rng_run, sub = jax.random.split(rng_run)
-            state, losses = svi_multi(state, sub)
-            jax.block_until_ready(losses)
-            if t_post is None:
-                t_post = time.time()   # exclude the compile chunk
-            done += chunk
-            elbo_now = -float(losses[-1])
-            logger.log(done - 1, elbo_estimate=elbo_now)
-            print(f"  step {done - 1}: elbo_estimate={elbo_now:.4g}",
-                  flush=True)
-        total = time.time() - t0
-        timed_steps = done - chunk          # steps after the compile chunk
-        restart_elbos = []
-        if timed_steps > 0:
-            per_step = (time.time() - t_post) / timed_steps
-            rows_per_sec = round(mcfg.batch / max(per_step, 1e-9))
-        else:
-            per_step, rows_per_sec = float("nan"), None
+        rows_per_sec = (round(mcfg.batch / max(per_step, 1e-9))
+                        if per_step == per_step else None)
         print(f"[{cfg.name}] done in {total:.1f}s; "
               f"{per_step*1e3:.2f} ms/step (post-compile), "
               f"{rows_per_sec} rows/s", flush=True)
-        result_extra = {
-            "batch": mcfg.batch,
-            "rows_per_sec": rows_per_sec,
-        }
+        result_extra["rows_per_sec"] = rows_per_sec
     else:
         result_extra = {}
 

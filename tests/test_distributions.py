@@ -98,3 +98,38 @@ def test_phi_cavi_update_prefers_better_fit():
     assert float(phi[0, 0]) > 0.99
     assert float(phi[1, 1]) > 0.99
     np.testing.assert_allclose(np.asarray(phi.sum(axis=1)), 1.0, rtol=1e-12)
+
+
+def test_dp_kl_terms_logits_matches_and_is_saturation_stable():
+    """dp_kl_terms(logits=...) equals the xlogy form at moderate phi and
+    keeps FINITE gradients when softmax saturates to exact zeros (O(N)
+    logit gaps at big N), where the xlogy entropy's gradient is
+    -inf * 0 = NaN through the softmax chain."""
+    import jax
+
+    g1 = jnp.asarray([1.3, 0.9])
+    g2 = jnp.asarray([2.1, 1.7])
+    moderate = jnp.asarray([[1.0, -0.5, 0.2], [0.3, 0.4, -1.0]])
+    phi = jax.nn.softmax(moderate, axis=-1)
+    np.testing.assert_allclose(
+        float(stick_breaking.dp_kl_terms(phi, g1, g2, 1.0,
+                                         logits=moderate)),
+        float(stick_breaking.dp_kl_terms(phi, g1, g2, 1.0)),
+        rtol=1e-10,
+    )
+
+    saturated = jnp.asarray([[1e5, 0.0, -1e5], [0.0, 2e5, -3e5]])
+
+    def f(lg):
+        p = jax.nn.softmax(lg, axis=-1)
+        return stick_breaking.dp_kl_terms(p, g1, g2, 1.0, logits=lg)
+
+    g = jax.grad(f)(saturated)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # and the xlogy form indeed NaNs there (the bug this guards)
+    g_bad = jax.grad(
+        lambda lg: stick_breaking.dp_kl_terms(
+            jax.nn.softmax(lg, axis=-1), g1, g2, 1.0
+        )
+    )(saturated)
+    assert not bool(jnp.all(jnp.isfinite(g_bad)))

@@ -185,3 +185,48 @@ def test_learnable_alpha_step_stays_finite():
     a = float(dp_svi.constrain(state.params)["alpha"])
     assert np.isfinite(a) and a > 0
     assert np.isfinite(float(dp_svi.elbo(state.params, Y, cfg)))
+
+
+def test_lam_cholesky_exact_when_well_conditioned():
+    """For a healthy Lambda the ridge rung is 0 and the factor is
+    bit-identical to the plain Cholesky (the collapsed-bound oracle
+    depends on this exactness)."""
+    rng = jax.random.PRNGKey(0)
+    a = jax.random.normal(rng, (8, 8))
+    lam = jnp.eye(8) + a @ a.T
+    np.testing.assert_array_equal(
+        np.asarray(dp_svi._lam_cholesky(lam)),
+        np.asarray(jnp.linalg.cholesky(lam)),
+    )
+
+
+def test_lam_cholesky_repairs_indefinite_with_finite_grads():
+    """An f32-roundoff-style breach of the Lambda >= I floor (measured
+    eigmin -4.3 at N=32k: VERDICT r3 notes) must yield a finite factor
+    AND finite gradients — a plain where() retry keeps the failed
+    factorization's NaN VJP in the graph and silently freezes every
+    hyper via apply_if_finite."""
+    rng = jax.random.PRNGKey(1)
+    a = jax.random.normal(rng, (16, 16))
+    base = a @ a.T * 1e4                    # data-dominated directions
+    w, v = jnp.linalg.eigh(base)
+    w = w.at[0].set(-4.0)                   # breached floor direction
+    lam = (v * w[None, :]) @ v.T
+    assert not bool(jnp.all(jnp.isfinite(jnp.linalg.cholesky(lam))))
+
+    L = dp_svi._lam_cholesky(lam)
+    assert bool(jnp.all(jnp.isfinite(L)))
+    # repaired factor stays close to the true spectrum in the
+    # data-dominated directions: logdet within ~m*log(1+64/eig_small)
+    recon = L @ L.T
+    np.testing.assert_allclose(
+        np.asarray(jnp.diagonal(recon)), np.asarray(jnp.diagonal(lam)),
+        rtol=0.05, atol=70.0,
+    )
+
+    def f(mat):
+        Lm = dp_svi._lam_cholesky(mat)
+        return jnp.sum(jnp.log(jnp.diagonal(Lm))) + jnp.sum(Lm)
+
+    g = jax.grad(f)(lam)
+    assert bool(jnp.all(jnp.isfinite(g)))
