@@ -183,6 +183,16 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
         # imputation happens to survive trips this first.
         "elbo": (">=", -6.0e6),
     },
+    # calibrated on the 2026-08-17 TPU runs of the 3-phase split-init
+    # recipe (elbo -4.32e6, purity_min 0.75, 4/4 distinct atoms,
+    # 143k rows/s): all four planted groups recovered on DISTINCT
+    # atoms at 128x the reference's data scale — the flagship gate.
+    "c7_dp_svi": {
+        "elbo": (">=", -5.0e6),
+        "group_purity_min": (">=", 0.6),
+        "distinct_atoms_for_groups": (">=", 4.0),
+        "rows_per_sec": (">=", 100000.0),
+    },
 }
 
 _OPS = {

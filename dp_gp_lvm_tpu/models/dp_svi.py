@@ -216,8 +216,8 @@ def _lam_cholesky(lam_t):
     low-noise atoms at N=32k, so a jitter *relative to the huge diagonal*
     either misses the deficit or crushes the prior-dominated (eig ~ 1)
     directions. The repair escalates an ABSOLUTE ridge in units of the
-    guaranteed I floor (0, 1, 8, 64, then 3e-3*meandiag as an adaptive
-    last resort for much larger N): negligible against data-dominated
+    guaranteed I floor (0, 1, 8, 64, 512, 4096, then a Gershgorin
+    deficit bound that cannot fail): negligible against data-dominated
     eigenvalues (~1e5), bounded distortion of the prior-dominated ones.
 
     The rung is chosen from stop_gradient PROBE factorizations and only
@@ -225,13 +225,24 @@ def _lam_cholesky(lam_t):
     where()-retry keeps the failed factorization in the graph, and the
     Cholesky VJP of a NaN primal is NaN even under a zero cotangent,
     silently freezing every hyper via apply_if_finite (the r3 c7
-    deadlock: noises pinned at their split values for 2500 steps)."""
+    deadlock: noises pinned at their split values for 2500 steps).
+
+    The final rung is a Gershgorin-circle ridge (eigmin(A) >=
+    min_i(a_ii - sum_{j!=i}|a_ij|), so adding its deficit + 1 is
+    GUARANTEED positive-definite): blend-accumulated whitening roundoff
+    scales with kappa(K_uu), not just eps*||Lambda|| — measured eigmin
+    -131 at c7 scale (N=131k, ARD-collapsed atoms), past any fixed rung
+    — and a repair that can fail re-freezes the whole run permanently
+    (every batch NaNs at the corrupted stored Lambda)."""
     m = lam_t.shape[-1]
     eye = jnp.eye(m, dtype=lam_t.dtype)
     frozen = jax.lax.stop_gradient(lam_t)
-    adaptive = 3e-3 * jnp.mean(jnp.diagonal(frozen))
-    ridge = adaptive
-    for r in (64.0, 8.0, 1.0, 0.0):
+    absrow = jnp.sum(jnp.abs(frozen), axis=-1) - jnp.abs(
+        jnp.diagonal(frozen)
+    )
+    gersh_min = jnp.min(jnp.diagonal(frozen) - absrow)
+    ridge = jax.nn.relu(-gersh_min) + 1.0
+    for r in (4096.0, 512.0, 64.0, 8.0, 1.0, 0.0):
         probe = jnp.linalg.cholesky(frozen + r * eye)
         ridge = jnp.where(
             jnp.all(jnp.isfinite(probe)), jnp.asarray(r, lam_t.dtype),
@@ -466,12 +477,16 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
         policy = policy._replace(max_tries=0)
     if blend_at not in ("updated", "grad"):
         raise ValueError(f"blend_at must be 'updated'|'grad', got {blend_at!r}")
-    if phi_update not in ("gradient", "cavi"):
+    if phi_update not in ("gradient", "cavi", "frozen"):
         raise ValueError(
-            f"phi_update must be 'gradient'|'cavi', got {phi_update!r}"
+            f"phi_update must be 'gradient'|'cavi'|'frozen', "
+            f"got {phi_update!r}"
         )
     rho_phi = rho if rho_phi is None else rho_phi
     learn_alpha = config.learn_alpha
+    # "gradient": phi_logits stays an optax leaf; "cavi"/"frozen":
+    # phi gradients are zeroed (frozen additionally skips the CAVI
+    # write, leaving phi exactly as initialized)
     blend_leaves = (
         _BLEND_LEAVES_GRAD_PHI if phi_update == "gradient"
         else _BLEND_LEAVES
@@ -556,7 +571,14 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
             )
             phi_new = jax.nn.softmax(new["phi_logits"], axis=-1)
         else:
-            # gradient phi: optax already moved phi_logits above
+            # gradient phi: optax already moved phi_logits above;
+            # "frozen" leaves phi fixed (its gradients are zeroed via
+            # blend_leaves and no CAVI write happens) — the stage-2
+            # warmup mode: q(u|t) equilibrates to each atom's own noise
+            # level BEFORE the first one-hot CAVI reassignment, so
+            # assignment is driven by converged noise-residual match
+            # rather than the post-split transient (merged groups 0/1
+            # at c7 scale when assigning at step 1)
             phi_new = jax.nn.softmax(params["phi_logits"], axis=-1)
 
         # gamma / alpha: exact CAVI given the new phi
@@ -582,12 +604,51 @@ def expected_assignments(params):
     return jax.nn.softmax(params["phi_logits"], axis=-1)
 
 
+def expected_residuals(params, Y, config: Config,
+                       policy: JitterPolicy | None = None):
+    """Per-dim expected squared residual (D,) under the current q(u),
+    q(X): E_q[(y_d - f_d)^2]/N — the bracket of the uncollapsed fit
+    term divided by N. One full-data suffstats pass (blockwise, no
+    (N, N) anything). This is the data-driven scale for
+    split_single_atom's noise ladder: each planted group's dims
+    cluster at their own residual level, so atom noises placed at
+    residual QUANTILES bracket every group regardless of how the
+    noise levels are distributed (a fixed log-spread around the
+    stage-1 compromise noise misses groups outside its range —
+    measured at c7 scale: ladder topped out at 0.65 with a planted
+    1.2-noise group)."""
+    policy = policy or JitterPolicy()
+    c = constrain(params)
+    stats = _batch_stats(c, c["qx_mean"], c["qx_var"], Y, config)
+    p0, p1y, p2, yty, n = stats
+    a_all, A2_all = _atom_whitened(c, p1y, p2, config, policy)
+
+    def one(a_t, A2_t, h_t, lam_t, p0_t):
+        Llam = _lam_cholesky(lam_t)
+        eye = jnp.eye(lam_t.shape[0], dtype=lam_t.dtype)
+        linv = tri_solve(Llam, eye)
+        S = jnp.dot(linv.T, linv, precision=_HIGHEST)
+        mean = jnp.dot(S, h_t, precision=_HIGHEST)
+        quad = jnp.sum(mean * jnp.dot(A2_t, mean, precision=_HIGHEST),
+                       axis=0)
+        a_dot_m = jnp.sum(mean * a_t, axis=0)
+        return (yty - 2.0 * a_dot_m + quad
+                + jnp.sum(S * A2_t) + p0_t - jnp.trace(A2_t)) / n
+
+    r_td = jax.vmap(one)(a_all, A2_all, c["u_h"], c["u_lam"], p0)
+    phi = c["phi"]                                            # (D, T)
+    return jnp.sum(phi.T * r_td, axis=0)                      # (D,)
+
+
 def split_single_atom(params, config: Config, spread: float = 1.5,
-                      min_noise: float = 2e-4):
+                      min_noise: float = 2e-4, residuals=None):
     """Split initialization: clone a trained truncation-1 model into
-    config.truncation atoms that differ ONLY in a log-spread noise level
-    around the learned one, with phi exactly uniform and gamma at its
-    CAVI fixed point.
+    config.truncation atoms that differ ONLY in their noise level, with
+    phi exactly uniform and gamma at its CAVI fixed point. The noise
+    ladder is either a log-spread around the learned noise (default) or
+    — when `residuals` (per-dim, from expected_residuals) is given —
+    the empirical residual QUANTILES at (t + 0.5)/T, which bracket
+    every dim's actual residual level whatever its distribution.
 
     Why: cold multi-atom training sits on a symmetric saddle — with
     near-uniform phi every atom receives the same phi-weighted hyper
@@ -598,9 +659,14 @@ def split_single_atom(params, config: Config, spread: float = 1.5,
     proven big-N path), then cloning with a noise spread, starts every
     atom equally WELL-FIT, so the subsequent damped-CAVI reassignment
     is driven purely by each dim's residual-vs-noise match — the one
-    per-atom parameter a single atom cannot absorb. Measured: recovers
-    all 4 planted noise groups at N=32k where every cold start
-    collapses (the c7_dp_svi recipe, experiments/run.py).
+    per-atom parameter a single atom cannot absorb. The full c7 recipe
+    (experiments/run.py) adds three stage-2 phases: frozen-phi q(u|t)
+    warmup, assignment at a FIXED manifold (only noise/q(u)/phi move —
+    joint training instead shifts every residual level and the moving
+    noise ladder crosses group levels, merging groups), then joint
+    fine-tune with assignments locked. Measured at N=131072: all 4
+    planted groups on distinct atoms, min purity 0.75 (results/c7),
+    where every cold start collapses to one atom.
 
     Returns params for a truncation=config.truncation model."""
     t = config.truncation
@@ -612,9 +678,25 @@ def split_single_atom(params, config: Config, spread: float = 1.5,
         else:
             out[k] = v
     noise1 = positive_noise(params["raw_noise"])[0] + 1e-6
-    factors = jnp.exp(jnp.linspace(-spread, spread, t))
+    if residuals is not None:
+        qs = (jnp.arange(t, dtype=residuals.dtype) + 0.5) / t
+        ladder = jnp.quantile(residuals, qs)
+        # de-duplicate: when T > #distinct residual levels, adjacent
+        # quantiles coincide and the tied clones sit 0 nats apart —
+        # dims then scatter across the pair on minibatch noise and the
+        # pair drifts as one (measured at c7: within-pair splits, then
+        # a cross-group merge). Enforce a minimum x1.2 geometric gap:
+        # log l_i' = cummax_j<=i (log l_j - g j) + g i, exact and
+        # monotone; duplicates get pushed to midpoints between levels.
+        g = jnp.asarray(jnp.log(1.2), ladder.dtype)
+        steps_idx = g * jnp.arange(t, dtype=ladder.dtype)
+        ladder = jnp.exp(
+            jax.lax.cummax(jnp.log(ladder) - steps_idx) + steps_idx
+        )
+    else:
+        ladder = noise1 * jnp.exp(jnp.linspace(-spread, spread, t))
     out["raw_noise"] = positive_inverse(
-        jnp.maximum(noise1 * factors, min_noise).astype(noise1.dtype)
+        jnp.maximum(ladder, min_noise).astype(noise1.dtype)
     )
     d = params["phi_logits"].shape[0]
     out["phi_logits"] = jnp.zeros((d, t), params["phi_logits"].dtype)

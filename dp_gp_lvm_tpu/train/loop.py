@@ -81,6 +81,7 @@ def gp_optimizer(
     skip_nonfinite: int = 100_000,
     decay_steps: int | None = None,
     ngd_lr: float | None = None,
+    freeze: frozenset = frozenset(),
 ) -> optax.GradientTransformation:
     """Stability-tuned optimizer for the GP-LVM family.
 
@@ -114,6 +115,12 @@ def gp_optimizer(
     NGD_NAMES = frozenset({"qx_mean", "raw_qx_var"})
 
     def label(k):
+        if k in freeze:
+            # staged recipes pin leaves exactly (e.g. DP-SVI stage 2b
+            # clusters dims at a FIXED manifold: only noise / q(u|t) /
+            # phi move, so per-atom residual levels stay static while
+            # assignments form)
+            return "frozen"
         if k in HYPER_PARAM_NAMES:
             return "hyper"
         if ngd_lr is not None and k in NGD_NAMES:
@@ -125,7 +132,8 @@ def gp_optimizer(
         labels["views"] = [
             {kk: label(kk) for kk in vp} for vp in params["views"]
         ]
-    transforms = {"hyper": optax.adam(hyper_lr), "var": optax.adam(lr)}
+    transforms = {"hyper": optax.adam(hyper_lr), "var": optax.adam(lr),
+                  "frozen": optax.set_to_zero()}
     if ngd_lr is not None:
         transforms["ngd"] = optax.chain(
             ngd_precondition(),

@@ -313,7 +313,9 @@ def main():
             # proven big-N SVI path); stage 2 clones it across a
             # log-spread of noise levels and reassigns dims by damped
             # stochastic CAVI, driven purely by residual-vs-noise match.
-            s1_steps = max(chunk, (int(steps * 0.7) // chunk) * chunk)
+            # 60/40: stage-1 ELBO plateaus by ~60% of the c7 budget;
+            # the extra stage-2 steps go to assignment + joint refine
+            s1_steps = max(chunk, (int(steps * 0.6) // chunk) * chunk)
             s2_steps = max(chunk, steps - s1_steps)
             mcfg1 = mcfg._replace(truncation=1)
             params1 = dp_svi.init_params(rng, Y_res, mcfg1)
@@ -323,29 +325,99 @@ def main():
             rng_run, r1, r2 = jax.random.split(rng_run, 3)
             state, ps1, tt1 = drive(step1, init_state(params1, opt1),
                                     s1_steps, r1, label="[stage1 T=1] ")
-            params = dp_svi.split_single_atom(state.params, mcfg)
+            # noise ladder from the per-dim residual quantiles of the
+            # stage-1 fit (one full-data pass): brackets every group's
+            # actual residual level, unlike a fixed log-spread
+            resid = dp_svi.expected_residuals(state.params, Y_res, mcfg1)
+            params = dp_svi.split_single_atom(state.params, mcfg,
+                                              residuals=resid)
             if mesh is not None:
                 from dp_gp_lvm_tpu.parallel import recipe
 
                 params, (Y_res,) = recipe.place_svi(
                     "dp_svi", params, (Y_res,), mesh
                 )
-            opt2 = gp_optimizer(params, lr=cfg.lr, decay_steps=s2_steps,
-                                ngd_lr=ngd_lr)
-            nat_step = dp_svi.make_dp_svi_step(
-                mcfg, n_total, opt2, rho=0.3, rho_phi=0.2,
+            # stage 2a — phi-FROZEN warmup at zero learning rate: only
+            # the per-atom natural-gradient q(u|t) blend acts, so each
+            # clone's q(u|t) equilibrates to its own noise level before
+            # the first (one-hot at O(N) logit gaps) CAVI reassignment;
+            # assigning at step 1 instead locks in the post-split
+            # transient (measured at c7: groups 0/1 merged onto one
+            # atom). Hypers must not train here: with phi uniform every
+            # atom gets the SAME hyper gradient and the noise ladder
+            # would drift back together.
+            warm = max(50, min(250, s2_steps // 5))
+            opt_w = gp_optimizer(params, lr=0.0, hyper_lr=0.0)
+            warm_step = dp_svi.make_dp_svi_step(
+                mcfg, n_total, opt_w, rho=0.5, phi_update="frozen",
+                mesh=mesh,
+            )
+            rng_run, rw = jax.random.split(rng_run)
+            state_w = init_state(params, opt_w)
+            rngs_w = jax.random.split(rw, warm)
+            @jax.jit
+            def warm_scan(st, rr):
+                def one_w(s, r):
+                    s, m = warm_step(s, r, Y_res)
+                    return s, m["loss"]
+                return jax.lax.scan(one_w, st, rr)
+            state_w, warm_losses = warm_scan(state_w, rngs_w)
+            jax.block_until_ready(warm_losses)
+            params = state_w.params
+            print(f"  [stage2 warmup] {warm} frozen-phi steps, "
+                  f"loss {float(warm_losses[-1]):.4g}", flush=True)
+
+            # stage 2b — ASSIGNMENT at a fixed manifold: latents, ARD,
+            # inducing and signal variances freeze (gp_optimizer
+            # freeze=...), so every dim's residual level is static
+            # while damped CAVI forms the assignments and each atom's
+            # noise tracks only its OWN dims. Joint training here
+            # instead shrinks all residuals together and the moving
+            # noise ladder crosses group levels — measured at c7:
+            # groups 0/1 merged onto the atom passing between them.
+            s2_assign = max(chunk, ((s2_steps - warm) // 2 // chunk)
+                            * chunk)
+            s2_joint = max(chunk, s2_steps - warm - s2_assign)
+            frozen_manifold = frozenset(
+                {"qx_mean", "raw_qx_var", "z", "raw_variance", "raw_ard"}
+            )
+            opt_a = gp_optimizer(params, lr=cfg.lr,
+                                 decay_steps=s2_assign,
+                                 freeze=frozen_manifold)
+            assign_step = dp_svi.make_dp_svi_step(
+                mcfg, n_total, opt_a, rho=0.3, rho_phi=0.2,
                 phi_update="cavi", mesh=mesh,
             )
-            state, per_step, tt2 = drive(
-                nat_step, init_state(params, opt2), s2_steps, r2,
-                label=f"[stage2 T={mcfg.truncation}] ",
+            state, ps2a, tt2a = drive(
+                assign_step, init_state(params, opt_a), s2_assign, r2,
+                label=f"[stage2b assign T={mcfg.truncation}] ",
             )
+            # stage 2c — JOINT fine-tune with assignments LOCKED
+            # (phi_update="frozen"): everything trains; phi stays at
+            # the settled clustering so ladder drift can no longer
+            # reassign dims.
+            params = state.params
+            opt2 = gp_optimizer(params, lr=cfg.lr, decay_steps=s2_joint,
+                                ngd_lr=ngd_lr)
+            nat_step = dp_svi.make_dp_svi_step(
+                mcfg, n_total, opt2, rho=0.3,
+                phi_update="frozen", mesh=mesh,
+            )
+            rng_run, r2c = jax.random.split(rng_run)
+            state, per_step, tt2 = drive(
+                nat_step, init_state(params, opt2), s2_joint, r2c,
+                label=f"[stage2c joint T={mcfg.truncation}] ",
+            )
+            tt2 = tt2 + tt2a
             optimizer = opt2        # downstream (checkpoint/export) state
             total = tt1 + tt2
             result_extra["stage1_steps"] = s1_steps
             result_extra["stage2_steps"] = s2_steps
-            result_extra["recipe"] = ("split-init (T=1 warm start + "
-                                      "noise-spread clone + damped CAVI)")
+            result_extra["recipe"] = (
+                "split-init: T=1 warm start + residual-quantile clone "
+                "+ frozen-phi q(u) warmup + fixed-manifold CAVI "
+                "assignment + locked-phi joint fine-tune"
+            )
         else:
             if cfg.model == "dp_svi":
                 from dp_gp_lvm_tpu.models import dp_svi
@@ -561,6 +633,9 @@ def main():
     elif cfg.model == "dp_gp_lvm":
         export_npz(os.path.join(out_dir, "params.npz"),
                    dp_gp_lvm.constrain(state.params))
+    elif cfg.model == "dp_svi":
+        export_npz(os.path.join(out_dir, "params.npz"),
+                   dict(state.params))
 
     if args.plots:
         from dp_gp_lvm_tpu import viz

@@ -230,3 +230,59 @@ def test_lam_cholesky_repairs_indefinite_with_finite_grads():
 
     g = jax.grad(f)(lam)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_lam_cholesky_gershgorin_rung_cannot_fail():
+    """Deficits beyond any fixed rung (measured -131 at c7 scale) must
+    still repair: the final Gershgorin rung guarantees positive
+    definiteness for ANY symmetric input, so a corrupted stored Lambda
+    can never re-freeze the run."""
+    rng = jax.random.PRNGKey(2)
+    a = jax.random.normal(rng, (16, 16))
+    base = a @ a.T * 1e4
+    w, v = jnp.linalg.eigh(base)
+    for deficit in (-200.0, -1e6):
+        lam = (v * w.at[0].set(deficit)[None, :]) @ v.T
+        L = dp_svi._lam_cholesky(lam)
+        assert bool(jnp.all(jnp.isfinite(L))), deficit
+        g = jax.grad(
+            lambda mat: jnp.sum(jnp.log(jnp.diagonal(
+                dp_svi._lam_cholesky(mat))))
+        )(lam)
+        assert bool(jnp.all(jnp.isfinite(g))), deficit
+
+
+def test_expected_residuals_tracks_planted_noise():
+    """expected_residuals at the optimal q(u) of a T=1 model: dims of
+    the noisier planted group must show larger expected residuals, and
+    the residual-quantile split ladder must bracket both noise levels
+    (monotone, spanning low-to-high)."""
+    rng = jax.random.PRNGKey(5)
+    Y, labels, _ = synthetic.grouped_dims_big(
+        rng, n=64, dims_per_group=(5, 5), q=2, noise=(0.01, 0.4)
+    )
+    cfg1 = dp_svi.Config(num_latent=2, num_inducing=12, truncation=1,
+                         batch=32)
+    params = dp_svi.init_params(jax.random.PRNGKey(1), Y, cfg1)
+    # residual contrast needs a FIT model (untrained, every dim's
+    # residual is ~var(y)): short T=1 training as in the c7 stage 1
+    opt = gp_optimizer(params, lr=2e-2, ngd_lr=0.5)
+    step = dp_svi.make_dp_svi_step(cfg1, Y.shape[0], opt, rho=0.3)
+    state = init_state(params, opt)
+    rng2 = jax.random.PRNGKey(9)
+    for _ in range(300):
+        rng2, sub = jax.random.split(rng2)
+        state, _ = step(state, sub, Y)
+    params = dp_svi.set_optimal_qu(state.params, Y, cfg1)
+    r = np.asarray(dp_svi.expected_residuals(params, Y, cfg1))
+    assert r.shape == (Y.shape[1],) and np.all(np.isfinite(r))
+    labels = np.asarray(labels)
+    assert r[labels == 1].min() > r[labels == 0].max(), r
+
+    cfgT = cfg1._replace(truncation=4)
+    out = dp_svi.split_single_atom(params, cfgT, residuals=jnp.asarray(r))
+    from dp_gp_lvm_tpu.core.transforms import positive_noise
+    noises = np.asarray(positive_noise(out["raw_noise"]))
+    assert np.all(np.diff(noises) > 0), noises           # monotone ladder
+    assert noises[0] <= np.median(r[labels == 0]) * 1.5
+    assert noises[-1] >= np.median(r[labels == 1]) * 0.5
