@@ -58,7 +58,9 @@ def build(dtype_str: str, ngd: bool = False):
     @jax.jit
     def step(params, opt_state, Y):
         loss, grads = jax.value_and_grad(dp_gp_lvm.loss)(params, Y, config)
-        updates, opt_state = optimizer.update(grads, opt_state)
+        # params required by the NGD preconditioner (Fisher at current
+        # raw_qx_var); harmless for the plain-Adam headline path
+        updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 

@@ -5,7 +5,7 @@ pins 8 fake CPU devices), so compiled-TPU behavior was only ever implied
 by bench runs producing sane numbers (VERDICT r1 weak item 5). This
 script closes that hole: run it ON THE REAL TPU each round —
 
-    python experiments/pallas_tpu_gate.py --out PALLAS_TPU_r02.json
+    python experiments/pallas_tpu_gate.py --out PALLAS_TPU_r03.json
 
 Methodology: for each fused kernel it compares, ELEMENTWISE,
 
@@ -292,7 +292,7 @@ def run_checks():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="PALLAS_TPU_r02.json")
+    ap.add_argument("--out", default="PALLAS_TPU_r03.json")
     ap.add_argument("--ref-out", default=None, help="internal: write the "
                     "f64 reference npz and exit")
     args = ap.parse_args()
