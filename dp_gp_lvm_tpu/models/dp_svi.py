@@ -707,3 +707,179 @@ def split_single_atom(params, config: Config, spread: float = 1.5,
     out["raw_gamma1"] = positive_inverse(g1)
     out["raw_gamma2"] = positive_inverse(g2)
     return out
+
+
+# ---------------------------------------------------------------------------
+# missing-data prediction: phi-weighted mixture over per-atom q(u|t)
+# (the SVI analogue of models/prediction.py's DP mixture, served from
+# the explicit naturals alone — no training data needed)
+# ---------------------------------------------------------------------------
+
+
+def qu_moments(params):
+    """Per-atom whitened q(u|t) moments from the stored naturals:
+    S_t = Lambda_t^{-1} (via the ridge-guarded Cholesky), mean m_td =
+    S_t h_td. Returns (mean (T, M, D), S (T, M, M))."""
+    c = constrain(params)
+
+    def one(h_t, lam_t):
+        Llam = _lam_cholesky(lam_t)
+        eye = jnp.eye(lam_t.shape[0], dtype=lam_t.dtype)
+        linv = tri_solve(Llam, eye)
+        S = jnp.dot(linv.T, linv, precision=_HIGHEST)
+        return jnp.dot(S, h_t, precision=_HIGHEST), S
+
+    return jax.vmap(one)(c["u_h"], c["u_lam"])
+
+
+def _atom_predictive(c, x_mean, x_var, mu_t_all, S_t_all, config,
+                     policy):
+    """(f_mean (T, N*, D), var (T, N*, D)): per-atom psi-moment
+    predictive at q(x*) rows — the svi_gplvm.predict_from_latent
+    algebra per atom, with the atom-shared full covariance S_t in the
+    tr(S_t A2_n) term."""
+
+    def atom(v_t, a_t, z_t, noise_t, mu_t, S_t):
+        kuu = dispatch.gram(v_t, a_t, z_t, kernel=config.kernel)
+        L, _ = safe_cholesky(kuu, policy)
+        _, p1, _ = dispatch.psi_stats(
+            v_t, a_t, x_mean, x_var, z_t, use_pallas=False,
+            kernel=config.kernel,
+        )
+        feat = tri_solve(L, p1.T).T                      # (N*, M)
+        f_mean = jnp.dot(feat, mu_t, precision=_HIGHEST)  # (N*, D)
+
+        def row(mu_n, s_n):
+            _, _, p2n = dispatch.psi_stats(
+                v_t, a_t, mu_n[None], s_n[None], z_t,
+                use_pallas=False, kernel=config.kernel,
+            )
+            half = tri_solve(L, p2n)
+            a2n = tri_solve(L, half.T)                   # (M, M)
+            t_s = jnp.sum(S_t * a2n)
+            t_m = jnp.sum(
+                mu_t * jnp.dot(a2n, mu_t, precision=_HIGHEST), axis=0
+            )                                            # (D,)
+            return t_s - jnp.trace(a2n), t_m
+
+        gp_var, m_quad = jax.vmap(row)(x_mean, x_var)
+        k_diag = dispatch.expected_gram_diag(
+            v_t, a_t, x_mean, x_var, kernel=config.kernel
+        )
+        var = (
+            (k_diag + gp_var)[:, None] + m_quad - f_mean * f_mean
+            + noise_t
+        )
+        return f_mean, var
+
+    return jax.vmap(atom)(
+        c["variance"], c["ard"], c["z"], c["noise"], mu_t_all, S_t_all
+    )
+
+
+def predict_from_latent(params, x_mean, x_var, config: Config,
+                        policy: JitterPolicy | None = None):
+    """Mixture predictive mean/variance at q(x*) rows: each output dim
+    mixes its per-atom predictives with its assignment posterior
+    phi_d — mean_nd = sum_t phi_dt mean_tnd, variance by the mixture
+    second moment. At one-hot phi this is exactly the owning atom's
+    predictive; at T = 1 it reduces to svi_gplvm.predict_from_latent
+    (tested)."""
+    policy = policy or JitterPolicy()
+    c = constrain(params)
+    mu_t, S_t = qu_moments(params)
+    f_mean_t, var_t = _atom_predictive(
+        c, x_mean, x_var, mu_t, S_t, config, policy
+    )                                                    # (T, N*, D)
+    w = c["phi"].T[:, None, :]                           # (T, 1, D)
+    mix_mean = jnp.sum(w * f_mean_t, axis=0)
+    mix_var = (
+        jnp.sum(w * (var_t + f_mean_t * f_mean_t), axis=0)
+        - mix_mean * mix_mean
+    )
+    return mix_mean, mix_var
+
+
+def infer_latent(
+    params, y_star, mask, m_init, config: Config,
+    num_steps: int = 200, lr: float = 0.05, tol: float | None = None,
+    policy: JitterPolicy | None = None,
+):
+    """Optimize q(x*) = N(m*, diag(s*)) for new rows against the masked
+    phi-weighted expected log-likelihood under the per-atom q(u|t):
+    ell = sum_{n,d} mask_nd sum_t phi_dt [-1/2 log(2 pi s2_t)
+    - beta_t/2 E_t[(y_nd - f_nd)^2]]. mask is (N*, D), 1 = observed."""
+    from dp_gp_lvm_tpu.models.prediction import _fit_variational
+
+    policy = policy or JitterPolicy()
+    c = constrain(params)
+    mu_t, S_t = qu_moments(params)
+    phi = c["phi"]                                       # (D, T)
+    beta = 1.0 / c["noise"]                              # (T,)
+    log2pi = jnp.log(2.0 * jnp.pi).astype(y_star.dtype)
+    dtype = y_star.dtype
+    var_params = {
+        "m": m_init.astype(dtype),
+        "raw_s": positive_inverse(
+            0.1 * jnp.ones_like(m_init)
+        ).astype(dtype),
+    }
+
+    def objective(vp):
+        s = positive_variational_var(vp["raw_s"])
+        f_mean_t, var_t = _atom_predictive(
+            c, vp["m"], s, mu_t, S_t, config, policy
+        )                                                # (T, N*, D)
+        # E_t[(y - f)^2] = y^2 - 2 y E_t[f] + E_t[f^2];
+        # var_t already includes noise_t -> subtract it back out
+        sq = (
+            y_star[None] * y_star[None]
+            - 2.0 * y_star[None] * f_mean_t
+            + var_t + f_mean_t * f_mean_t
+            - c["noise"][:, None, None]
+        )                                                # (T, N*, D)
+        per_td = (
+            -0.5 * (log2pi + jnp.log(c["noise"]))[:, None, None]
+            - 0.5 * beta[:, None, None] * sq
+        )
+        w = phi.T[:, None, :]                            # (T, 1, D)
+        ell = jnp.sum(mask[None] * w * per_td)
+        kl = gaussian.kl_to_standard_normal(vp["m"], s)
+        return -(ell - kl)
+
+    vp, trace, _ = _fit_variational(objective, var_params, num_steps, lr,
+                                    tol)
+    return vp["m"], positive_variational_var(vp["raw_s"]), -trace
+
+
+def _nearest_latent_init(params, y_star, mask, config: Config):
+    """Init q(x*) means from the training latent whose mixture-predicted
+    mean best matches the observed dims (N-capped candidate subsample;
+    no training Y needed)."""
+    c = constrain(params)
+    qx = c["qx_mean"]
+    n = qx.shape[0]
+    take = jnp.arange(0, n, max(1, n // 2048))
+    mean, _ = predict_from_latent(params, qx[take], c["qx_var"][take],
+                                  config)
+    d2 = jnp.sum(
+        ((y_star[:, None, :] - mean[None, :, :]) ** 2)
+        * mask[:, None, :],
+        axis=-1,
+    )
+    return qx[take][jnp.argmin(d2, axis=1)]
+
+
+def impute(
+    params, y_star, mask, config: Config,
+    num_steps: int = 200, lr: float = 0.05, tol: float | None = None,
+):
+    """Missing-data pipeline for DP-SVI: infer q(x*) from observed dims
+    under the phi-weighted mixture likelihood, predict all dims from
+    the per-atom q(u|t) mixture. Returns (mean, var, m*, s*, trace)."""
+    m0 = _nearest_latent_init(params, y_star, mask, config)
+    m_s, s_s, trace = infer_latent(
+        params, y_star, mask, m0, config, num_steps, lr, tol
+    )
+    mean, var = predict_from_latent(params, m_s, s_s, config)
+    return mean, var, m_s, s_s, trace

@@ -45,6 +45,11 @@ def main():
                     help="assert the committed regression gates "
                          "(core/config.CHECKS) on the finished run; "
                          "exit 1 on any failure")
+    ap.add_argument("--n", type=int, default=None,
+                    help="override the config's data size (smoke runs "
+                         "on small hosts / fake-device meshes)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the SVI minibatch size (smoke runs)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +78,10 @@ def main():
     )
 
     cfg = config_lib.get(args.config)
+    if args.n:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, n=args.n)
     steps = args.steps or cfg.steps
     dtype = jnp.float64 if args.f64 else jnp.float32
     rng = jax.random.PRNGKey(cfg.seed)
@@ -178,7 +187,8 @@ def main():
         from dp_gp_lvm_tpu.models import svi_gplvm
 
         mcfg = svi_gplvm.Config(num_latent=cfg.q, num_inducing=cfg.m,
-                                batch=1024, psi2_block=cfg.psi2_block)
+                                batch=args.batch or 1024,
+                                psi2_block=cfg.psi2_block)
         if cfg.missing_fraction > 0:
             # same clean protocol as config 5: strided interpolation
             # holdout, train-only standardization
@@ -207,7 +217,8 @@ def main():
         # (dp_svi.Config.ard_init); batch=2048 is the tuned c7 recipe.
         mcfg = dp_svi.Config(num_latent=cfg.q, num_inducing=cfg.m,
                              truncation=cfg.t, alpha=cfg.alpha,
-                             batch=2048, psi2_block=cfg.psi2_block,
+                             batch=args.batch or 2048,
+                             psi2_block=cfg.psi2_block,
                              ard_init=1.0 / cfg.q)
         init_fn = lambda k: dp_svi.init_params(k, data[0], mcfg)
         params = init_fn(rng)

@@ -286,3 +286,90 @@ def test_expected_residuals_tracks_planted_noise():
     assert np.all(np.diff(noises) > 0), noises           # monotone ladder
     assert noises[0] <= np.median(r[labels == 0]) * 1.5
     assert noises[-1] >= np.median(r[labels == 1]) * 0.5
+
+
+def test_predict_t1_matches_svi_gplvm():
+    """T=1 at the optimal q(u): dp_svi.predict_from_latent equals
+    svi_gplvm.predict_from_latent (same posterior, same psi-moment
+    algebra; the mixture collapses to its single atom)."""
+    rng = jax.random.PRNGKey(0)
+    Y, _ = synthetic.toy_gplvm(rng, n=30, d=5, q_true=2)
+    scfg = svi_gplvm.Config(num_latent=2, num_inducing=8, batch=10)
+    sparams = svi_gplvm.init_params(jax.random.PRNGKey(1), Y, scfg)
+    dcfg = dp_svi.Config(num_latent=2, num_inducing=8, truncation=1,
+                         batch=10)
+    dparams = dp_svi.init_params(jax.random.PRNGKey(1), Y, dcfg)
+    for k in ("qx_mean", "raw_qx_var"):
+        dparams[k] = sparams[k]
+    for k in ("z", "raw_variance", "raw_ard", "raw_noise"):
+        dparams[k] = sparams[k][None]
+    d_opt = dp_svi.set_optimal_qu(dparams, Y, dcfg)
+    s_opt = svi_gplvm.set_optimal_qu(sparams, Y, scfg)
+
+    xm = jnp.asarray([[0.3, -0.2], [1.0, 0.5], [-0.7, 0.1]])
+    xv = jnp.full_like(xm, 0.05)
+    dm, dv = dp_svi.predict_from_latent(d_opt, xm, xv, dcfg)
+    sm, sv = svi_gplvm.predict_from_latent(s_opt, xm, xv, scfg)
+    np.testing.assert_allclose(np.asarray(dm), np.asarray(sm),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(sv),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_predict_one_hot_phi_selects_owning_atom():
+    """With phi one-hot, every dim's mixture predictive equals the
+    predictive of its owning atom alone (mixture variance collapses)."""
+    Y, labels, cfg, _, params = _setup(n=40, dims=(4, 4), t=3, m=8)
+    params = dp_svi.set_optimal_qu(params, Y, cfg)
+    d = Y.shape[1]
+    hard = jnp.asarray([0] * 4 + [2] * 4)
+    params["phi_logits"] = 60.0 * jax.nn.one_hot(hard, cfg.truncation)
+
+    xm = params["qx_mean"][:3]
+    xv = dp_svi.constrain(params)["qx_var"][:3]
+    mean, var = dp_svi.predict_from_latent(params, xm, xv, cfg)
+
+    c = dp_svi.constrain(params)
+    mu_t, S_t = dp_svi.qu_moments(params)
+    from dp_gp_lvm_tpu.core.types import JitterPolicy
+    f_t, v_t = dp_svi._atom_predictive(c, xm, xv, mu_t, S_t, cfg,
+                                       JitterPolicy())
+    for dd in range(d):
+        t = int(hard[dd])
+        np.testing.assert_allclose(np.asarray(mean[:, dd]),
+                                   np.asarray(f_t[t, :, dd]), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(var[:, dd]),
+                                   np.asarray(v_t[t, :, dd]), rtol=1e-4)
+
+
+def test_dp_svi_impute_beats_mean_baseline():
+    """Train DP-SVI on grouped data, mask half the dims of held-out
+    rows, impute: masked-dim MSE must beat predicting zeros (the
+    training mean of standardized data)."""
+    rng = jax.random.PRNGKey(11)
+    Y, labels, _ = synthetic.grouped_dims(
+        rng, n=72, dims_per_group=(5, 5), q=2, noise=0.01
+    )
+    Y_train, Y_test = Y[:56], Y[56:]
+    cfg = dp_svi.Config(num_latent=2, num_inducing=10, truncation=3,
+                        batch=16)
+    params = dp_svi.init_params(jax.random.PRNGKey(1), Y_train, cfg)
+    opt = gp_optimizer(params, lr=2e-2, ngd_lr=0.5)
+    step = dp_svi.make_dp_svi_step(cfg, Y_train.shape[0], opt, rho=0.3,
+                                   rho_phi=0.1)
+    state = init_state(params, opt)
+    r = jax.random.PRNGKey(7)
+    for _ in range(300):
+        r, sub = jax.random.split(r)
+        state, _ = step(state, sub, Y_train)
+
+    mask = jnp.zeros_like(Y_test).at[:, ::2].set(1.0)
+    mean, var, _, _, _ = dp_svi.impute(state.params, Y_test, mask, cfg,
+                                       num_steps=150)
+    missing = 1.0 - mask
+    mse = float(jnp.sum(missing * (mean - Y_test) ** 2)
+                / jnp.sum(missing))
+    base = float(jnp.sum(missing * Y_test ** 2) / jnp.sum(missing))
+    assert np.isfinite(mse)
+    assert mse < 0.5 * base, (mse, base)
+    assert bool(jnp.all(var > 0))
