@@ -124,11 +124,16 @@ def main():
         # default per-group noise/lengthscale contrasts (see the
         # generator docstring: latent-subset structure alone stops being
         # identifiable at big N)
+        # +512 held-out rows from the SAME function draw (one call, one
+        # rng) for the imputation metric; a separate draw would be a
+        # different GP sample and unimputable by construction
+        n_hold = 512
         Y, group_labels, _ = synthetic.grouped_dims_big(
-            rng, n=cfg.n,
+            rng, n=cfg.n + n_hold,
             dims_per_group=(per, per, per, cfg.d - 3 * per),
             q=cfg.q, dtype=dtype,
         )
+        Y, Y_test = Y[:cfg.n], Y[cfg.n:]
         tag = "synthetic:grouped_big"
         data = (Y,)
     elif cfg.dataset == "mocap":
@@ -612,6 +617,35 @@ def main():
               f"q(u) alone)", flush=True)
 
     if cfg.model == "dp_svi" and cfg.dataset == "grouped_big":
+        # mixture imputation on the held-out rows: observe the even
+        # dims (every group keeps observed dims, so its latent stays
+        # identifiable), impute the odd dims from the phi-weighted
+        # per-atom q(u|t) mixture (dp_svi.impute)
+        from dp_gp_lvm_tpu.models import dp_svi as _dps
+
+        mask = jnp.zeros_like(Y_test).at[:, ::2].set(1.0)
+        t_imp = time.time()
+        mean, var, *_ = _dps.impute(
+            state.params, Y_test, mask, mcfg, num_steps=200
+        )
+        jax.block_until_ready(mean)
+        imp_s = time.time() - t_imp
+        miss = 1.0 - mask
+        mse = float(jnp.sum(((mean - Y_test) ** 2) * miss)
+                    / jnp.sum(miss))
+        base = float(jnp.sum((Y_test ** 2) * miss) / jnp.sum(miss))
+        pll = float(prediction.gaussian_predictive_loglik(
+            Y_test, mean, var, miss) / jnp.sum(miss))
+        result["imputation_mse"] = mse
+        result["imputation_mse_baseline"] = base
+        result["predictive_loglik_per_dim"] = pll
+        result["imputation_seconds"] = round(imp_s, 3)
+        result["imputation_rows"] = int(Y_test.shape[0])
+        print(f"[{cfg.name}] imputation mse={mse:.4f} "
+              f"(baseline {base:.4f}) pll={pll:.4f} "
+              f"({imp_s:.2f}s, {Y_test.shape[0]} rows, phi-mixture "
+              f"from q(u|t) alone)", flush=True)
+
         # planted-group recovery at scale: every planted group of output
         # dims should concentrate on one atom (purity per group), and
         # distinct groups on distinct atoms (the count of atoms covering
