@@ -95,6 +95,42 @@ def make_dp_imputer(
     return impute
 
 
+def make_dp_svi_imputer(
+    params, config, num_steps: int = 150, lr: float = 0.05,
+    tol: float | str | None = "auto",
+) -> Callable:
+    """Serving imputer for the minibatch-trained DP-SVI model — no
+    training Y needed (the model carries explicit per-atom q(u|t)).
+    The nearest-latent init candidates (an N-capped subsample of the
+    training latents and their mixture-predicted means) are computed
+    once here; each call is one compiled program per batch shape."""
+    from dp_gp_lvm_tpu.models import dp_svi
+
+    c = dp_svi.constrain(params)
+    qx, qx_var = c["qx_mean"], c["qx_var"]
+    take = jnp.arange(0, qx.shape[0], max(1, qx.shape[0] // 2048))
+    cand = qx[take]
+    cand_mean, _ = dp_svi.predict_from_latent(
+        params, cand, qx_var[take], config
+    )
+
+    @jax.jit
+    def impute(y_star, mask):
+        t, steps = _resolve(tol, num_steps, y_star.shape[0])
+        d2 = jnp.sum(
+            ((y_star[:, None, :] - cand_mean[None, :, :]) ** 2)
+            * mask[:, None, :],
+            axis=-1,
+        )
+        m0 = cand[jnp.argmin(d2, axis=1)]
+        m_s, s_s, _ = dp_svi.infer_latent(
+            params, y_star, mask, m0, config, steps, lr, t
+        )
+        return dp_svi.predict_from_latent(params, m_s, s_s, config)
+
+    return impute
+
+
 def make_mrd_cross_view_predictor(
     params, Ys, config: mrd.Config, observed_view: int, target_view: int,
     num_steps: int = 150, lr: float = 0.05, tol: float | str | None = "auto",

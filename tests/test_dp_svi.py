@@ -373,3 +373,28 @@ def test_dp_svi_impute_beats_mean_baseline():
     assert np.isfinite(mse)
     assert mse < 0.5 * base, (mse, base)
     assert bool(jnp.all(var > 0))
+
+
+def test_dp_svi_serving_imputer_matches_pipeline():
+    """The compile-once serving factory (models/serving.py:
+    make_dp_svi_imputer) reproduces the dp_svi.impute pipeline exactly
+    for the same step budget — the factory only moves the train-data-
+    dependent work (candidate latents + their mixture predictions) to
+    build time."""
+    from dp_gp_lvm_tpu.models import serving
+
+    Y, _, cfg, _, params = _setup(n=48, dims=(4, 4))
+    params = dp_svi.set_optimal_qu(params, Y, cfg)
+    y_star = Y[:6]
+    mask = jnp.zeros_like(y_star).at[:, ::2].set(1.0)
+
+    mean_p, var_p, *_ = dp_svi.impute(params, y_star, mask, cfg,
+                                      num_steps=60, tol=None)
+    imputer = serving.make_dp_svi_imputer(params, cfg, num_steps=60,
+                                          tol=None)
+    mean_s, var_s = imputer(y_star, mask)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_p),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_p),
+                               rtol=1e-5, atol=1e-8)
+    assert bool(jnp.all(jnp.isfinite(mean_s)))
