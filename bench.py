@@ -87,7 +87,20 @@ def cpu_baseline_ms() -> float:
     """Measure (or read cached) f64-CPU per-step time in a clean env."""
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cpu_baseline.json")
-    key = f"N{N}_D{D}_Q{Q}_M{M}_T{T}"
+    # key includes a host fingerprint: the driver can move this repo
+    # between machines across sessions (observed round 3: different CPU
+    # feature sets), and a baseline measured on the old host would
+    # silently mis-scale vs_baseline on the new one.
+    import hashlib
+
+    try:
+        flags = [l for l in open("/proc/cpuinfo")
+                 if l.startswith(("flags", "model name"))]
+        host = hashlib.sha1("".join(sorted(set(flags))).encode())\
+            .hexdigest()[:8]
+    except OSError:
+        host = "unknown"
+    key = f"N{N}_D{D}_Q{Q}_M{M}_T{T}_{host}"
     if os.path.exists(cache):
         try:
             data = json.load(open(cache))
@@ -127,7 +140,38 @@ def cpu_baseline_ms() -> float:
     return ms
 
 
+def _watchdog(seconds: float) -> None:
+    """Print a parseable failure line and exit if the bench wedges.
+
+    The axon TPU relay retries an unreachable tunnel in an unbounded
+    sleep loop (observed live: `jax.devices()` hung >20 min), which
+    would hang the driver's round-end bench run forever. A daemon timer
+    turns that into one JSON line with value=null plus an "error" field
+    so the failure is recorded instead of stalling the harness.
+    """
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "dp_gp_lvm_elbo_step (N=1024,D=60,Q=10,M=64,T=20)",
+            "value": None,
+            "unit": "ms/step",
+            "vs_baseline": None,
+            "error": f"bench exceeded {seconds:.0f}s — TPU tunnel "
+                     "unreachable (relay retry loop)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    # default generous enough for a cold run on a fresh host (TPU
+    # compiles ~1 min; an uncached f64-CPU baseline costs tens of
+    # minutes on this 1-core host) while still bounding a dead tunnel
+    _watchdog(float(os.environ.get("BENCH_DEADLINE_S", "3600")))
     import jax
 
     device_kind = jax.devices()[0].device_kind

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dp_gp_lvm_tpu.kernels import ard_rbf
 from dp_gp_lvm_tpu.linalg import safe_cholesky
@@ -126,9 +127,10 @@ def grouped_dims_big(rng, n=65536, dims_per_group=(16, 16), q=4,
 
     Returns (Y, labels, X)."""
     num_groups = len(dims_per_group)
-    if jnp.ndim(noise) == 0 or isinstance(noise, float):
+    # np.ndim (not jnp): accepts tuples without a deprecation warning
+    if np.ndim(noise) == 0 or isinstance(noise, float):
         noise = (float(noise),) * num_groups
-    if jnp.ndim(lengthscales) == 0 or isinstance(lengthscales, float):
+    if np.ndim(lengthscales) == 0 or isinstance(lengthscales, float):
         lengthscales = (float(lengthscales),) * num_groups
     rngs = jax.random.split(rng, 2 * num_groups + 2)
     X = jax.random.normal(rngs[0], (n, q), dtype)

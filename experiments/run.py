@@ -50,6 +50,10 @@ def main():
                          "on small hosts / fake-device meshes)")
     ap.add_argument("--batch", type=int, default=None,
                     help="override the SVI minibatch size (smoke runs)")
+    ap.add_argument("--resume", action="store_true",
+                    help="staged dp_svi: restart at the first incomplete "
+                         "stage using the boundary checkpoints in "
+                         "<out>/stages (train/dp_recipe.py)")
     args = ap.parse_args()
 
     import jax
@@ -271,19 +275,25 @@ def main():
         Y_res = data[0]
         n_total = Y_res.shape[0]
         # minibatch steps are ~1 ms; a small chunk makes the host
-        # round-trip the bottleneck. Floor the scan length at 250, but
-        # keep at least TWO chunks so a timed post-compile chunk exists
-        # (a single chunk would divide ~0s elapsed by max(1, 0) and
-        # report nonsense rows/s).
-        chunk = max(1, min(max(args.log_every, 250), steps))
+        # round-trip the bottleneck on the tunneled TPU (~1.5 s per
+        # dispatch), so floor the scan length at 250 there. On CPU the
+        # floor only bloats smoke runs (8 fake-device collectives
+        # timeshare one core), so honor --log-every directly. Keep at
+        # least TWO chunks either way so a timed post-compile chunk
+        # exists (a single chunk would divide ~0s elapsed by max(1, 0)
+        # and report nonsense rows/s).
+        chunk_floor = 250 if jax.devices()[0].platform != "cpu" else 1
+        chunk = max(1, min(max(args.log_every, chunk_floor), steps))
         if chunk >= steps:
             chunk = max(1, steps // 2)
 
-        def drive(nat_step, state, n_steps, rng_run, label=""):
+        def drive(nat_step, state, n_steps, rng_run, Y_cur, label=""):
             """Run n_steps through chunked lax.scan dispatches; returns
-            (state, post-compile s/step, wall seconds)."""
+            (state, post-compile s/step, wall seconds). Y_cur is passed
+            explicitly because the staged recipe re-places the dataset
+            on the mesh between stages (train/dp_recipe.py)."""
             def one(st, step_rng):
-                st, metrics = nat_step(st, step_rng, Y_res)
+                st, metrics = nat_step(st, step_rng, Y_cur)
                 return st, metrics["loss"]
 
             @jax.jit
@@ -318,122 +328,24 @@ def main():
         result_extra = {"batch": mcfg.batch}
         restart_elbos = []
         if cfg.model == "dp_svi" and mcfg.truncation > 1:
-            from dp_gp_lvm_tpu.models import dp_svi
+            # SPLIT-INIT staged recipe, as a library call — schedule,
+            # rationale (every stage ordering is a measured necessity),
+            # stage-boundary checkpoints and resume all live in
+            # train/dp_recipe.py. Boundary params always save to
+            # <out>/stages; --resume restarts at the first incomplete
+            # stage and finishes bit-identical to an uninterrupted run.
+            from dp_gp_lvm_tpu.train import dp_recipe
 
-            # SPLIT-INIT staged recipe (dp_svi.split_single_atom): cold
-            # multi-atom starts sit on a symmetric saddle — near-uniform
-            # phi gives every atom the same phi-weighted gradient, atoms
-            # never differentiate, and the mixture collapses to one atom
-            # (measured at N=32k on every cold phi variant). Stage 1
-            # trains the shared fit ONCE at truncation=1 (exactly the
-            # proven big-N SVI path); stage 2 clones it across a
-            # log-spread of noise levels and reassigns dims by damped
-            # stochastic CAVI, driven purely by residual-vs-noise match.
-            # 60/40: stage-1 ELBO plateaus by ~60% of the c7 budget;
-            # the extra stage-2 steps go to assignment + joint refine
-            s1_steps = max(chunk, (int(steps * 0.6) // chunk) * chunk)
-            s2_steps = max(chunk, steps - s1_steps)
-            mcfg1 = mcfg._replace(truncation=1)
-            params1 = dp_svi.init_params(rng, Y_res, mcfg1)
-            opt1 = gp_optimizer(params1, lr=cfg.lr, decay_steps=s1_steps,
-                                ngd_lr=ngd_lr)
-            step1 = dp_svi.make_dp_svi_step(mcfg1, n_total, opt1, rho=0.3)
-            rng_run, r1, r2 = jax.random.split(rng_run, 3)
-            state, ps1, tt1 = drive(step1, init_state(params1, opt1),
-                                    s1_steps, r1, label="[stage1 T=1] ")
-            # noise ladder from the per-dim residual quantiles of the
-            # stage-1 fit (one full-data pass): brackets every group's
-            # actual residual level, unlike a fixed log-spread
-            resid = dp_svi.expected_residuals(state.params, Y_res, mcfg1)
-            params = dp_svi.split_single_atom(state.params, mcfg,
-                                              residuals=resid)
-            if mesh is not None:
-                from dp_gp_lvm_tpu.parallel import recipe
-
-                params, (Y_res,) = recipe.place_svi(
-                    "dp_svi", params, (Y_res,), mesh
-                )
-            # stage 2a — phi-FROZEN warmup at zero learning rate: only
-            # the per-atom natural-gradient q(u|t) blend acts, so each
-            # clone's q(u|t) equilibrates to its own noise level before
-            # the first (one-hot at O(N) logit gaps) CAVI reassignment;
-            # assigning at step 1 instead locks in the post-split
-            # transient (measured at c7: groups 0/1 merged onto one
-            # atom). Hypers must not train here: with phi uniform every
-            # atom gets the SAME hyper gradient and the noise ladder
-            # would drift back together.
-            warm = max(50, min(250, s2_steps // 5))
-            opt_w = gp_optimizer(params, lr=0.0, hyper_lr=0.0)
-            warm_step = dp_svi.make_dp_svi_step(
-                mcfg, n_total, opt_w, rho=0.5, phi_update="frozen",
-                mesh=mesh,
+            state, optimizer, rinfo = dp_recipe.staged_dp_svi(
+                rng, rng_run, Y_res, mcfg, n_total,
+                steps=steps, chunk=chunk, lr=cfg.lr, ngd_lr=ngd_lr,
+                drive=drive, mesh=mesh,
+                ckpt_dir=os.path.join(out_dir, "stages"),
+                resume=args.resume,
             )
-            rng_run, rw = jax.random.split(rng_run)
-            state_w = init_state(params, opt_w)
-            rngs_w = jax.random.split(rw, warm)
-            @jax.jit
-            def warm_scan(st, rr):
-                def one_w(s, r):
-                    s, m = warm_step(s, r, Y_res)
-                    return s, m["loss"]
-                return jax.lax.scan(one_w, st, rr)
-            state_w, warm_losses = warm_scan(state_w, rngs_w)
-            jax.block_until_ready(warm_losses)
-            params = state_w.params
-            print(f"  [stage2 warmup] {warm} frozen-phi steps, "
-                  f"loss {float(warm_losses[-1]):.4g}", flush=True)
-
-            # stage 2b — ASSIGNMENT at a fixed manifold: latents, ARD,
-            # inducing and signal variances freeze (gp_optimizer
-            # freeze=...), so every dim's residual level is static
-            # while damped CAVI forms the assignments and each atom's
-            # noise tracks only its OWN dims. Joint training here
-            # instead shrinks all residuals together and the moving
-            # noise ladder crosses group levels — measured at c7:
-            # groups 0/1 merged onto the atom passing between them.
-            s2_assign = max(chunk, ((s2_steps - warm) // 2 // chunk)
-                            * chunk)
-            s2_joint = max(chunk, s2_steps - warm - s2_assign)
-            frozen_manifold = frozenset(
-                {"qx_mean", "raw_qx_var", "z", "raw_variance", "raw_ard"}
-            )
-            opt_a = gp_optimizer(params, lr=cfg.lr,
-                                 decay_steps=s2_assign,
-                                 freeze=frozen_manifold)
-            assign_step = dp_svi.make_dp_svi_step(
-                mcfg, n_total, opt_a, rho=0.3, rho_phi=0.2,
-                phi_update="cavi", mesh=mesh,
-            )
-            state, ps2a, tt2a = drive(
-                assign_step, init_state(params, opt_a), s2_assign, r2,
-                label=f"[stage2b assign T={mcfg.truncation}] ",
-            )
-            # stage 2c — JOINT fine-tune with assignments LOCKED
-            # (phi_update="frozen"): everything trains; phi stays at
-            # the settled clustering so ladder drift can no longer
-            # reassign dims.
-            params = state.params
-            opt2 = gp_optimizer(params, lr=cfg.lr, decay_steps=s2_joint,
-                                ngd_lr=ngd_lr)
-            nat_step = dp_svi.make_dp_svi_step(
-                mcfg, n_total, opt2, rho=0.3,
-                phi_update="frozen", mesh=mesh,
-            )
-            rng_run, r2c = jax.random.split(rng_run)
-            state, per_step, tt2 = drive(
-                nat_step, init_state(params, opt2), s2_joint, r2c,
-                label=f"[stage2c joint T={mcfg.truncation}] ",
-            )
-            tt2 = tt2 + tt2a
-            optimizer = opt2        # downstream (checkpoint/export) state
-            total = tt1 + tt2
-            result_extra["stage1_steps"] = s1_steps
-            result_extra["stage2_steps"] = s2_steps
-            result_extra["recipe"] = (
-                "split-init: T=1 warm start + residual-quantile clone "
-                "+ frozen-phi q(u) warmup + fixed-manifold CAVI "
-                "assignment + locked-phi joint fine-tune"
-            )
+            per_step = rinfo.pop("per_step")
+            total = rinfo.pop("seconds")
+            result_extra.update(rinfo)
         else:
             if cfg.model == "dp_svi":
                 from dp_gp_lvm_tpu.models import dp_svi
@@ -448,7 +360,7 @@ def main():
                 )
             rng_run, r1 = jax.random.split(rng_run)
             state, per_step, total = drive(
-                nat_step, init_state(params, optimizer), steps, r1
+                nat_step, init_state(params, optimizer), steps, r1, Y_res
             )
         rows_per_sec = (round(mcfg.batch / max(per_step, 1e-9))
                         if per_step == per_step else None)
@@ -515,6 +427,19 @@ def main():
               f"{per_step*1e3:.2f} ms/step (post-compile)", flush=True)
 
     # ---- final metrics & export ------------------------------------------
+    if mesh is not None:
+        # Pull the trained params off the mesh: every consumer below
+        # (metrics, imputation, plots, npz export) is a pure read of
+        # the tiny param pytree, and single-device metric programs
+        # avoid a second round of multi-device GSPMD compiles (each
+        # sharded-metric compile costs ~10 min on the fake-device CPU
+        # mesh; the math is identical either way).
+        state = state._replace(
+            params=jax.tree.map(
+                lambda a: jnp.asarray(jax.device_get(a)), state.params
+            )
+        )
+        data = tuple(jnp.asarray(jax.device_get(y)) for y in data)
     terms = {k: float(v) for k, v in terms_fn(state.params).items()
              if jnp.ndim(v) == 0}
     result = {"config": cfg.name, "data": tag, "steps": steps,
