@@ -439,9 +439,17 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
                      blend_at: str = "grad",
                      sample_idx=None,
                      mesh=None,
+                     streaming: bool = False,
                      policy: JitterPolicy | None = None):
     """One jitted DP-SVI step. Returns step(state, rng, Y) -> (state,
     metrics); Y stays device-resident, rows gathered by index.
+
+    streaming=True: the input pipeline owns sampling (data/stream.py
+    ChunkStream + the native mmap gather loader) — Y becomes the pair
+    (idx (B,) int32, y_b (B, D)) fed from the host, nothing resampled
+    or gathered on device, and the dataset never has to fit in HBM
+    (only the N x Q variational state stays resident). Identical math
+    to the resident path at equal indices (tests/test_stream.py).
 
     - hypers, inducing inputs, q(X) rows: optax gradient (gp_optimizer
       labels give hypers lr/10 and q(X) exact NGD when ngd_lr is set);
@@ -498,11 +506,14 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
         return rho * (1.0 + t / rho_t0) ** (-rho_kappa)
 
     def step(state: TrainState, rng, Y):
-        if sample_idx is None:
+        if streaming:
+            idx, y_b = Y            # host-fed (idx, rows) pair
+        elif sample_idx is None:
             idx = jax.random.randint(rng, (config.batch,), 0, n_total)
+            y_b = Y[idx]
         else:
             idx = sample_idx(rng)
-        y_b = Y[idx]
+            y_b = Y[idx]
         scale = jnp.asarray(n_total / y_b.shape[0], y_b.dtype)
 
         def loss_with_stats(p):

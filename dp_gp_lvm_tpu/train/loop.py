@@ -205,6 +205,27 @@ def make_multi_step_fn(
     return jax.jit(multi_step, donate_argnums=(0,))
 
 
+def make_streaming_scan_fn(step_fn):
+    """One XLA program running a whole host-fed scan-chunk of streaming
+    minibatch steps: `scan_chunk(state, rngs, idx, y) -> (state,
+    losses)` with rngs (chunk, 2), idx (chunk, B) int32, y (chunk, B, D)
+    — exactly what data/stream.ChunkStream.next_chunk() produces.
+    step_fn must be a streaming step (e.g. dp_svi.make_dp_svi_step(...,
+    streaming=True)), whose data argument is the (idx, y_b) pair. The
+    state is donated; the (idx, y) chunk buffers are NOT (the stream
+    reuses them host-side two chunks later)."""
+
+    def scan_chunk(state: TrainState, rngs, idx, y):
+        def one(st, x):
+            r, i, yb = x
+            st, metrics = step_fn(st, r, (i, yb))
+            return st, metrics["loss"]
+
+        return jax.lax.scan(one, state, (rngs, idx, y))
+
+    return jax.jit(scan_chunk, donate_argnums=(0,))
+
+
 def fit_lbfgs(
     loss_fn: Callable,
     params,
