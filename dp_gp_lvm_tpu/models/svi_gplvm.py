@@ -500,6 +500,7 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
                           blend_at: str = "updated",
                           sample_idx=None,
                           mesh=None,
+                          streaming: bool = False,
                           policy: JitterPolicy | None = None):
     """SVI step with Hoffman-style stochastic NATURAL-gradient q(u)
     updates (the canonical accelerator for this bound): hypers, inducing
@@ -534,7 +535,13 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
     mesh: a jax.sharding.Mesh routes the bound through
     parallel.sharded_elbo.svi_elbo_sharded (batch rows shard over
     "data", one psum per step) and the blend reuses the psummed
-    whitened statistics. Identical math to mesh=None."""
+    whitened statistics. Identical math to mesh=None.
+
+    streaming: the input pipeline owns sampling (data/stream.py) — the
+    step's data argument becomes the host-fed pair (idx (B,) int32,
+    y_b (B, D)); nothing is resampled or gathered on device, so Y never
+    has to fit in HBM. Identical math to the resident path at equal
+    indices (tests/test_stream.py)."""
     import optax
 
     from dp_gp_lvm_tpu.train.loop import TrainState
@@ -549,11 +556,14 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
         return rho * (1.0 + t / rho_t0) ** (-rho_kappa)
 
     def step(state: TrainState, rng, Y):
-        if sample_idx is None:
+        if streaming:
+            idx, y_b = Y            # host-fed (idx, rows) pair
+        elif sample_idx is None:
             idx = jax.random.randint(rng, (config.batch,), 0, n_total)
+            y_b = Y[idx]
         else:
             idx = sample_idx(rng)
-        y_b = Y[idx]
+            y_b = Y[idx]
 
         def loss_with_stats(p):
             if mesh is not None:

@@ -54,6 +54,11 @@ def main():
                     help="staged dp_svi: restart at the first incomplete "
                          "stage using the boundary checkpoints in "
                          "<out>/stages (train/dp_recipe.py)")
+    ap.add_argument("--stream", action="store_true",
+                    help="SVI configs: feed minibatches through the "
+                         "host streaming input pipeline (data/stream.py "
+                         "mmap + async C++ gather) instead of keeping Y "
+                         "device-resident — the beyond-HBM-N path")
     args = ap.parse_args()
 
     import jax
@@ -347,21 +352,73 @@ def main():
             total = rinfo.pop("seconds")
             result_extra.update(rinfo)
         else:
+            if args.stream and mesh is not None:
+                raise SystemExit("--stream with --mesh is not supported "
+                                 "yet (per-shard host feeds)")
             if cfg.model == "dp_svi":
                 from dp_gp_lvm_tpu.models import dp_svi
 
                 nat_step = dp_svi.make_dp_svi_step(
                     mcfg, n_total, optimizer, rho=0.3, rho_phi=0.1,
-                    mesh=mesh,
+                    mesh=mesh, streaming=args.stream,
                 )
             else:
                 nat_step = svi_gplvm.make_svi_natgrad_step(
                     mcfg, n_total, optimizer, rho=0.2, mesh=mesh,
+                    streaming=args.stream,
                 )
             rng_run, r1 = jax.random.split(rng_run)
-            state, per_step, total = drive(
-                nat_step, init_state(params, optimizer), steps, r1, Y_res
-            )
+            if args.stream:
+                # host streaming pipeline: Y lives in an mmap'd file,
+                # the C++ worker gathers chunk k+1 while the device
+                # runs chunk k (identical math to the resident path —
+                # tests/test_stream.py)
+                import numpy as _np
+
+                from dp_gp_lvm_tpu.data import stream as _stream
+                from dp_gp_lvm_tpu.train.loop import (
+                    make_streaming_scan_fn,
+                )
+
+                y_path = _stream.write_rows(
+                    os.path.join(out_dir, "y_stream.f32"),
+                    _np.asarray(Y_res, _np.float32),
+                )
+                scan_chunk = make_streaming_scan_fn(nat_step)
+                state = init_state(params, optimizer)
+                t0 = time.time()
+                t_post = None
+                done = 0
+                with _stream.ChunkStream(
+                    _stream.open_loader(y_path, n_total, Y_res.shape[1]),
+                    batch=mcfg.batch, chunk=chunk, seed=cfg.seed + 7,
+                ) as cs:
+                    while done < steps:
+                        idx_c, y_c = cs.next_chunk()
+                        rng_run, sub = jax.random.split(rng_run)
+                        state, losses = scan_chunk(
+                            state, jax.random.split(sub, chunk),
+                            jnp.asarray(idx_c), jnp.asarray(y_c),
+                        )
+                        jax.block_until_ready(losses)
+                        if t_post is None:
+                            t_post = time.time()
+                        done += chunk
+                        elbo_now = -float(losses[-1])
+                        logger.log(done - 1, elbo_estimate=elbo_now)
+                        print(f"  [stream] step {done - 1}: "
+                              f"elbo_estimate={elbo_now:.4g}", flush=True)
+                timed = done - chunk
+                per_step = ((time.time() - t_post) / timed
+                            if timed > 0 else float("nan"))
+                total = time.time() - t0
+                result_extra["streamed"] = True
+                result_extra["native_loader"] = _stream.native_available()
+            else:
+                state, per_step, total = drive(
+                    nat_step, init_state(params, optimizer), steps, r1,
+                    Y_res,
+                )
         rows_per_sec = (round(mcfg.batch / max(per_step, 1e-9))
                         if per_step == per_step else None)
         print(f"[{cfg.name}] done in {total:.1f}s; "

@@ -154,6 +154,34 @@ def test_streaming_scan_chunk_equals_resident_loop(dataset):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_svi_gplvm_streaming_step_equals_resident(dataset):
+    from dp_gp_lvm_tpu.models import svi_gplvm
+
+    path, Y = dataset
+    n, d = Y.shape
+    cfg = svi_gplvm.Config(num_latent=2, num_inducing=8, batch=8)
+    Yj = jnp.asarray(Y)
+    params = svi_gplvm.init_params(jax.random.PRNGKey(1), Yj, cfg)
+    opt = gp_optimizer(params, lr=1e-2)
+    idx = np.array([5, 5, 1, 95, 33, 2, 70, 0], np.int32)
+
+    res_step = svi_gplvm.make_svi_natgrad_step(
+        cfg, n, opt, rho=0.3, sample_idx=lambda r: jnp.asarray(idx)
+    )
+    str_step = svi_gplvm.make_svi_natgrad_step(
+        cfg, n, opt, rho=0.3, streaming=True
+    )
+    r = jax.random.PRNGKey(2)
+    st_res, m_res = res_step(init_state(params, opt), r, Yj)
+    st_str, m_str = str_step(
+        init_state(params, opt), r, (jnp.asarray(idx), Yj[idx])
+    )
+    assert float(m_res["loss"]) == float(m_str["loss"])
+    for a, b in zip(jax.tree_util.tree_leaves(st_res.params),
+                    jax.tree_util.tree_leaves(st_str.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_streamed_training_end_to_end(dataset):
     path, Y = dataset
     n, d = Y.shape
