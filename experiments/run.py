@@ -58,7 +58,9 @@ def main():
                     help="SVI configs: feed minibatches through the "
                          "host streaming input pipeline (data/stream.py "
                          "mmap + async C++ gather) instead of keeping Y "
-                         "device-resident — the beyond-HBM-N path")
+                         "device-resident — the beyond-HBM-N path; "
+                         "composes with --mesh (chunks land pre-sharded "
+                         "over the data axis)")
     args = ap.parse_args()
 
     import jax
@@ -352,9 +354,6 @@ def main():
             total = rinfo.pop("seconds")
             result_extra.update(rinfo)
         else:
-            if args.stream and mesh is not None:
-                raise SystemExit("--stream with --mesh is not supported "
-                                 "yet (per-shard host feeds)")
             if cfg.model == "dp_svi":
                 from dp_gp_lvm_tpu.models import dp_svi
 
@@ -385,6 +384,19 @@ def main():
                     _np.asarray(Y_res, _np.float32),
                 )
                 scan_chunk = make_streaming_scan_fn(nat_step)
+                if mesh is not None:
+                    # place each host chunk with the batch rows already
+                    # sharded over "data" (the layout the sharded elbo
+                    # expects), so the H2D transfer itself is sharded
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    idx_sh = NamedSharding(mesh, P(None, "data"))
+                    y_sh = NamedSharding(mesh, P(None, "data", None))
+                    put = lambda i, y: (jax.device_put(i, idx_sh),
+                                        jax.device_put(y, y_sh))
+                else:
+                    put = lambda i, y: (jnp.asarray(i), jnp.asarray(y))
                 state = init_state(params, optimizer)
                 t0 = time.time()
                 t_post = None
@@ -398,7 +410,7 @@ def main():
                         rng_run, sub = jax.random.split(rng_run)
                         state, losses = scan_chunk(
                             state, jax.random.split(sub, chunk),
-                            jnp.asarray(idx_c), jnp.asarray(y_c),
+                            *put(idx_c, y_c),
                         )
                         jax.block_until_ready(losses)
                         if t_post is None:

@@ -182,6 +182,43 @@ def test_svi_gplvm_streaming_step_equals_resident(dataset):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_streaming_step_on_mesh_equals_resident_mesh(dataset):
+    """streaming=True composes with mesh=... : host-fed chunks are
+    resharded by GSPMD onto the data axis and the step equals the
+    resident mesh step at equal indices."""
+    from dp_gp_lvm_tpu.parallel import mesh as mesh_lib, recipe
+
+    path, Y = dataset
+    n, d = Y.shape
+    cfg = dp_svi.Config(num_latent=2, num_inducing=8, truncation=2,
+                        batch=8)
+    Yj = jnp.asarray(Y)
+    params = dp_svi.init_params(jax.random.PRNGKey(1), Yj, cfg)
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    opt = gp_optimizer(params, lr=1e-2)
+    idx = np.array([7, 7, 2, 95, 40, 1, 64, 9], np.int32)
+
+    res_step = dp_svi.make_dp_svi_step(
+        cfg, n, opt, rho=0.3, mesh=mesh,
+        sample_idx=lambda r: jnp.asarray(idx),
+    )
+    str_step = dp_svi.make_dp_svi_step(
+        cfg, n, opt, rho=0.3, mesh=mesh, streaming=True
+    )
+    p_m, (Y_m,) = recipe.place_svi("dp_svi", params, (Yj,), mesh)
+    r = jax.random.PRNGKey(2)
+    st_res, m_res = res_step(init_state(p_m, opt), r, Y_m)
+    st_str, m_str = str_step(
+        init_state(p_m, opt), r, (jnp.asarray(idx), jnp.asarray(Y[idx]))
+    )
+    np.testing.assert_allclose(float(m_res["loss"]), float(m_str["loss"]),
+                               rtol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(st_res.params),
+                    jax.tree_util.tree_leaves(st_str.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+
+
 def test_streamed_training_end_to_end(dataset):
     path, Y = dataset
     n, d = Y.shape
