@@ -33,6 +33,10 @@ class ExperimentConfig:
     restarts: int = 1            # train from `restarts` init seeds, keep
     #                              the best final ELBO (non-convex models:
     #                              MRD's independent-encoding local optimum)
+    amortized: bool = False      # recognition-network q(X)
+    #                              (models/amortized.py): O(encoder)
+    #                              variational state instead of the
+    #                              O(N) table — SVI families only
     ngd_lr: float | None = None  # natural-gradient rate for q(X) params
     #                              (train.loop.ngd_precondition); None = Adam
     #                              everywhere. ~1.0 is the measured stable
@@ -117,6 +121,17 @@ CONFIGS: dict[str, ExperimentConfig] = {
         n=131072, d=32, q=8, m=64, t=8, steps=4000, lr=3e-3, ngd_lr=1.0,
         psi2_block=8192,
     ),
+    # Beyond-reference: c6 with AMORTIZED q(X) (models/amortized.py) —
+    # the recognition network replaces the 131072 x 8 variational table
+    # with O(encoder) weights, so device state is N-free end to end
+    # (composes with --stream for the full beyond-HBM pipeline) and
+    # held-out latents come from ONE forward pass instead of a per-row
+    # optimization loop.
+    "c8_amortized_svi": ExperimentConfig(
+        name="c8_amortized_svi", model="svi_gplvm", dataset="mocap",
+        n=131072, d=32, q=8, m=64, steps=6000, lr=3e-3,
+        missing_fraction=0.5, psi2_block=8192, amortized=True,
+    ),
 }
 
 
@@ -192,6 +207,15 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
         "group_purity_min": (">=", 0.6),
         "distinct_atoms_for_groups": (">=", 4.0),
         "rows_per_sec": (">=", 100000.0),
+    },
+    # conservative first-run floors (amortization restricts the
+    # variational family, so elbo/mse sit below/above the c6 values by
+    # construction); tighten after the first committed TPU artifact
+    "c8_amortized_svi": {
+        "imputation_mse": ("<=", 0.10),
+        "predictive_loglik_per_dim": (">=", -1.2),
+        "rows_per_sec": (">=", 150000.0),
+        "elbo": (">=", -7.0e6),
     },
 }
 

@@ -115,6 +115,13 @@ class Config(NamedTuple):
     #                                pruning reaching the data scale,
     #                                and pruning from 1.0 at the hyper
     #                                learning rate is the bottleneck.
+    # amortized=True replaces the free N x Q q(X) table with a shared
+    # recognition network (models/amortized.py): variational state is
+    # O(encoder), so with the streaming pipeline (data/stream.py)
+    # NOTHING on device scales with N — the full beyond-HBM story for
+    # the flagship model. encoder_hidden=0 is the pure-linear encoder.
+    amortized: bool = False
+    encoder_hidden: int = 64
 
 
 def init_params(rng, Y, config: Config):
@@ -131,9 +138,10 @@ def init_params(rng, Y, config: Config):
     ard0 = ard_scale * jnp.ones((t, q), dtype) * (
         1.0 + 0.05 * jax.random.normal(r_hyp, (t, q), dtype)
     )
+    from dp_gp_lvm_tpu.models import amortized
+
     params = {
-        "qx_mean": x0,
-        "raw_qx_var": positive_inverse(0.5 * jnp.ones_like(x0)),
+        **amortized.qx_leaves_or_encoder(r_z, Y, q, config),
         "z": jnp.broadcast_to(z0, (t,) + z0.shape).copy(),
         "raw_variance": positive_inverse(jnp.ones((t,), dtype)),
         "raw_ard": positive_inverse(jnp.maximum(ard0, 0.1)),
@@ -156,8 +164,6 @@ def init_params(rng, Y, config: Config):
 
 def constrain(params):
     out = {
-        "qx_mean": params["qx_mean"],
-        "qx_var": positive_variational_var(params["raw_qx_var"]),
         "z": params["z"],
         "variance": positive(params["raw_variance"]),
         "ard": positive(params["raw_ard"]),
@@ -174,9 +180,23 @@ def constrain(params):
             params["u_lam"] + jnp.swapaxes(params["u_lam"], -1, -2)
         ),
     }
+    if "qx_mean" in params:          # resident q(X) table
+        out["qx_mean"] = params["qx_mean"]
+        out["qx_var"] = positive_variational_var(params["raw_qx_var"])
+    for k in params:                 # recognition-network leaves pass
+        if k.startswith("enc_"):     # through raw (unconstrained)
+            out[k] = params[k]
     if "raw_alpha" in params:
         out["alpha"] = positive(params["raw_alpha"], 1e-3)
     return out
+
+
+def _qx(c, y, idx):
+    """Table gather (resident) or recognition-net forward (amortized);
+    see models/amortized.qx_batch."""
+    from dp_gp_lvm_tpu.models import amortized
+
+    return amortized.qx_batch(c, y, idx)
 
 
 def _batch_stats(c, mu, s, Y, config: Config):
@@ -342,8 +362,9 @@ def elbo_terms(params, Y, config: Config,
     if config.fast_chol:
         policy = policy._replace(max_tries=0)
     c = constrain(params)
-    stats = _batch_stats(c, c["qx_mean"], c["qx_var"], Y, config)
-    kl_x = gaussian.kl_to_standard_normal(c["qx_mean"], c["qx_var"])
+    mu, s = _qx(c, Y, None)
+    stats = _batch_stats(c, mu, s, Y, config)
+    kl_x = gaussian.kl_to_standard_normal(mu, s)
     return _elbo_from_stats(c, stats, kl_x, config, policy)
 
 
@@ -364,8 +385,7 @@ def elbo_minibatch(params, y_batch, idx, n_total: int, config: Config,
     if config.fast_chol:
         policy = policy._replace(max_tries=0)
     c = constrain(params)
-    mu_b = c["qx_mean"][idx]
-    s_b = c["qx_var"][idx]
+    mu_b, s_b = _qx(c, y_batch, idx)
     scale = jnp.asarray(n_total / y_batch.shape[0], y_batch.dtype)
     stats = _scale_stats(
         _batch_stats(c, mu_b, s_b, y_batch, config), scale
@@ -385,8 +405,8 @@ def optimal_qu(params, Y, config: Config,
     (phi-independent; see module docstring). Returns (u_h, u_lam)."""
     policy = policy or JitterPolicy()
     c = constrain(params)
-    _, p1y, p2, _, _ = _batch_stats(c, c["qx_mean"], c["qx_var"], Y,
-                                    config)
+    mu, s = _qx(c, Y, None)
+    _, p1y, p2, _, _ = _batch_stats(c, mu, s, Y, config)
     a_all, A2_all = _atom_whitened(c, p1y, p2, config, policy)
     beta = 1.0 / c["noise"]                                   # (T,)
     m = A2_all.shape[-1]
@@ -529,8 +549,7 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
                 beta = 1.0 / positive_noise(p["raw_noise"])
                 return -elbo_v, (a_all, A2_all, beta, f_td)
             c = constrain(p)
-            mu_b = c["qx_mean"][idx]
-            s_b = c["qx_var"][idx]
+            mu_b, s_b = _qx(c, y_b, idx)
             stats = _scale_stats(
                 _batch_stats(c, mu_b, s_b, y_b, config), scale
             )
@@ -630,7 +649,8 @@ def expected_residuals(params, Y, config: Config,
     1.2-noise group)."""
     policy = policy or JitterPolicy()
     c = constrain(params)
-    stats = _batch_stats(c, c["qx_mean"], c["qx_var"], Y, config)
+    mu, s = _qx(c, Y, None)
+    stats = _batch_stats(c, mu, s, Y, config)
     p0, p1y, p2, yty, n = stats
     a_all, A2_all = _atom_whitened(c, p1y, p2, config, policy)
 
@@ -868,6 +888,10 @@ def _nearest_latent_init(params, y_star, mask, config: Config):
     mean best matches the observed dims (N-capped candidate subsample;
     no training Y needed)."""
     c = constrain(params)
+    if "qx_mean" not in c:
+        from dp_gp_lvm_tpu.models import amortized
+
+        return amortized.encoder_fill_init(c, y_star, mask)
     qx = c["qx_mean"]
     n = qx.shape[0]
     take = jnp.arange(0, n, max(1, n // 2048))

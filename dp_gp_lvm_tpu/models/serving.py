@@ -107,26 +107,81 @@ def make_dp_svi_imputer(
     from dp_gp_lvm_tpu.models import dp_svi
 
     c = dp_svi.constrain(params)
-    qx, qx_var = c["qx_mean"], c["qx_var"]
-    take = jnp.arange(0, qx.shape[0], max(1, qx.shape[0] // 2048))
-    cand = qx[take]
-    cand_mean, _ = dp_svi.predict_from_latent(
-        params, cand, qx_var[take], config
-    )
+    if "qx_mean" in c:
+        qx, qx_var = c["qx_mean"], c["qx_var"]
+        take = jnp.arange(0, qx.shape[0], max(1, qx.shape[0] // 2048))
+        cand = qx[take]
+        cand_mean, _ = dp_svi.predict_from_latent(
+            params, cand, qx_var[take], config
+        )
+
+        def init0(y_star, mask):
+            d2 = jnp.sum(
+                ((y_star[:, None, :] - cand_mean[None, :, :]) ** 2)
+                * mask[:, None, :],
+                axis=-1,
+            )
+            return cand[jnp.argmin(d2, axis=1)]
+    else:
+        from dp_gp_lvm_tpu.models import amortized
+
+        def init0(y_star, mask):
+            return amortized.encoder_fill_init(c, y_star, mask)
 
     @jax.jit
     def impute(y_star, mask):
         t, steps = _resolve(tol, num_steps, y_star.shape[0])
-        d2 = jnp.sum(
-            ((y_star[:, None, :] - cand_mean[None, :, :]) ** 2)
-            * mask[:, None, :],
-            axis=-1,
-        )
-        m0 = cand[jnp.argmin(d2, axis=1)]
+        m0 = init0(y_star, mask)
         m_s, s_s, _ = dp_svi.infer_latent(
             params, y_star, mask, m0, config, steps, lr, t
         )
         return dp_svi.predict_from_latent(params, m_s, s_s, config)
+
+    return impute
+
+
+def make_encoder_imputer(
+    params, config, model: str = "svi_gplvm",
+    refine_steps: int = 0, lr: float = 0.05,
+) -> Callable:
+    """One-forward-pass serving for AMORTIZED models
+    (models/amortized.py): q(x*) = encode(y* with missing dims filled
+    at the encoder center), then the psi-moment predictive — no
+    per-row optimization loop at all, so imputation latency is two
+    small matmuls plus the predictive, independent of any convergence
+    schedule. refine_steps > 0 optionally follows with that many
+    masked-ELL refinement steps from the encoded init (the encoder's
+    variance head is trained on complete rows, so heavily-masked
+    inputs benefit from a short refinement; measure per workload).
+
+    model: "svi_gplvm" or "dp_svi" (both SVI families support
+    Config.amortized)."""
+    from dp_gp_lvm_tpu.models import amortized
+
+    if model == "svi_gplvm":
+        from dp_gp_lvm_tpu.models import svi_gplvm as mod
+    elif model == "dp_svi":
+        from dp_gp_lvm_tpu.models import dp_svi as mod
+    else:
+        raise ValueError(f"model must be 'svi_gplvm'|'dp_svi', got {model!r}")
+    c = mod.constrain(params)
+    if "enc_mean" not in c:
+        raise ValueError(
+            "make_encoder_imputer needs amortized params "
+            "(Config.amortized=True); got a resident q(X) table"
+        )
+
+    @jax.jit
+    def impute(y_star, mask):
+        y_fill = jnp.where(mask > 0, y_star, c["enc_mean"][None, :])
+        m0, s0 = amortized.encode(c, y_fill)
+        if refine_steps:
+            m_s, s_s, _ = mod.infer_latent(
+                params, y_star, mask, m0, config, refine_steps, lr, None
+            )
+        else:
+            m_s, s_s = m0, s0
+        return mod.predict_from_latent(params, m_s, s_s, config)
 
     return impute
 

@@ -66,18 +66,27 @@ class Config(NamedTuple):
     use_pallas: bool | str = "auto"
     kernel: str = "ard_rbf"
     fast_chol: bool = False
+    # amortized=True replaces the free N x Q q(X) table with a shared
+    # recognition network q(x_n) = N(mu_w(y_n), s_w(y_n)) — O(encoder)
+    # variational state instead of O(N) (models/amortized.py);
+    # encoder_hidden=0 is the pure-linear (back-constraint) encoder
+    amortized: bool = False
+    encoder_hidden: int = 64
 
 
 def init_params(rng, Y, config: Config):
     """PCA latents (full N), k-ish inducing from latents, whitened q(u)
-    at the prior (m=0, S=I)."""
+    at the prior (m=0, S=I). amortized=True swaps the q(X) table for
+    encoder leaves whose initial encode(Y) EQUALS the resident init
+    (PCA means, 0.5 variances — models/amortized.init_encoder)."""
     dtype = Y.dtype
     m, q, d = config.num_inducing, config.num_latent, Y.shape[1]
     x0 = pca_latents(Y, q).astype(dtype)
     z0 = inducing_from_latents(rng, x0, m)
+    from dp_gp_lvm_tpu.models import amortized
+
     return {
-        "qx_mean": x0,
-        "raw_qx_var": positive_inverse(0.5 * jnp.ones_like(x0)),
+        **amortized.qx_leaves_or_encoder(rng, Y, q, config),
         "z": z0,
         "raw_variance": positive_inverse(jnp.asarray(1.0, dtype)),
         "raw_ard": positive_inverse(jnp.ones((q,), dtype)),
@@ -95,9 +104,7 @@ def init_params(rng, Y, config: Config):
 def constrain(params):
     raw = params["raw_u_scale"]
     ls = jnp.tril(raw, -1) + jnp.diag(positive(jnp.diagonal(raw)))
-    return {
-        "qx_mean": params["qx_mean"],
-        "qx_var": positive_variational_var(params["raw_qx_var"]),
+    c = {
         "z": params["z"],
         "variance": positive(params["raw_variance"]),
         "ard": positive(params["raw_ard"]),
@@ -105,6 +112,23 @@ def constrain(params):
         "u_mean": params["u_mean"],
         "u_scale": ls,                # chol factor of whitened S
     }
+    if "qx_mean" in params:           # resident q(X) table
+        c["qx_mean"] = params["qx_mean"]
+        c["qx_var"] = positive_variational_var(params["raw_qx_var"])
+    for k in params:                  # recognition-network leaves pass
+        if k.startswith("enc_"):      # through raw (unconstrained)
+            c[k] = params[k]
+    return c
+
+
+def _qx_batch(c, y, idx):
+    """q(X) moments for data rows: a table gather (resident mode) or a
+    recognition-network forward pass (amortized mode — the mode is read
+    off the constrained dict, so every bound/serving path below works
+    for both). idx=None means "all rows of y" (full-batch paths)."""
+    from dp_gp_lvm_tpu.models import amortized
+
+    return amortized.qx_batch(c, y, idx)
 
 
 def _whitened_terms(c, stats, policy):
@@ -175,8 +199,7 @@ def elbo_minibatch(
     if config.fast_chol:
         policy = policy._replace(max_tries=0)
     c = constrain(params)
-    mu_b = c["qx_mean"][idx]
-    s_b = c["qx_var"][idx]
+    mu_b, s_b = _qx_batch(c, y_batch, idx)
     scale = jnp.asarray(n_total / y_batch.shape[0], y_batch.dtype)
     stats = dispatch.suff_stats(
         c["variance"], c["ard"], mu_b, s_b, c["z"], y_batch,
@@ -200,12 +223,13 @@ def elbo(params, Y, config: Config, policy: JitterPolicy | None = None):
     if config.fast_chol:
         policy = policy._replace(max_tries=0)
     c = constrain(params)
+    mu, s = _qx_batch(c, Y, None)
     stats = dispatch.suff_stats(
-        c["variance"], c["ard"], c["qx_mean"], c["qx_var"], c["z"], Y,
+        c["variance"], c["ard"], mu, s, c["z"], Y,
         block_n=config.psi2_block, use_pallas=config.use_pallas,
         kernel=config.kernel,
     )
-    kl_x = gaussian.kl_to_standard_normal(c["qx_mean"], c["qx_var"])
+    kl_x = gaussian.kl_to_standard_normal(mu, s)
     return _bound_from_stats(c, stats, kl_x, policy)
 
 
@@ -222,8 +246,9 @@ def optimal_qu(params, Y, config: Config, policy: JitterPolicy | None = None):
     S* = (I + beta A2)^{-1}, m* = beta S* a. Returns (m*, chol(S*))."""
     policy = policy or JitterPolicy()
     c = constrain(params)
+    mu, s = _qx_batch(c, Y, None)
     stats = dispatch.suff_stats(
-        c["variance"], c["ard"], c["qx_mean"], c["qx_var"], c["z"], Y,
+        c["variance"], c["ard"], mu, s, c["z"], Y,
         block_n=config.psi2_block, use_pallas=config.use_pallas,
         kernel=config.kernel,
     )
@@ -415,8 +440,18 @@ def _nearest_latent_init(params, y_star, mask, config: Config):
     """Init q(x*) means from the training latent whose q(u)-predicted
     mean best matches the observed dims. O(N_sub M) with an N-capped
     subsample of the latent table (no training Y needed — SVI serves
-    from q(u) alone)."""
+    from q(u) alone).
+
+    Amortized mode has no table — and doesn't need one: the recognition
+    network IS one-pass latent inference. Missing dims are filled with
+    the encoder's center `enc_mean`, so after centering they contribute
+    exactly zero to the forward pass (the back-constraint analogue of
+    conditioning on observed dims only)."""
     c = constrain(params)
+    if "qx_mean" not in c:
+        from dp_gp_lvm_tpu.models import amortized
+
+        return amortized.encoder_fill_init(c, y_star, mask)
     qx = c["qx_mean"]
     n = qx.shape[0]
     take = jnp.arange(0, n, max(1, n // 4096))     # cap the candidate set
@@ -462,8 +497,7 @@ def _params_from_natural(h, lam):
 def _scaled_batch_stats(c, y_b, idx, n_total, config: Config):
     """(N/B)-scaled SuffStats and q(X)-KL for a batch, from constrained
     params — the common core of the minibatch bound and natgrad blend."""
-    mu_b = c["qx_mean"][idx]
-    s_b = c["qx_var"][idx]
+    mu_b, s_b = _qx_batch(c, y_b, idx)
     scale = jnp.asarray(n_total / y_b.shape[0], y_b.dtype)
     stats = dispatch.suff_stats(
         c["variance"], c["ard"], mu_b, s_b, c["z"], y_b,

@@ -312,8 +312,10 @@ def svi_elbo_sharded(
 
     def program(p, y_b, ix):
         c = svi.constrain(p)
-        mu_b = c["qx_mean"][ix]
-        s_b = c["qx_var"][ix]
+        # table gather (resident) or recognition-net forward (amortized);
+        # either way the cotangents w.r.t. the replicated leaves psum at
+        # the shard_map transpose, so gradients match single-device
+        mu_b, s_b = svi._qx_batch(c, y_b, ix)
         stats = dispatch.suff_stats(
             c["variance"], c["ard"], mu_b, s_b, c["z"], y_b,
             block_n=config.psi2_block,
@@ -378,8 +380,7 @@ def dp_svi_elbo_sharded(
 
     def program(p, y_b, ix):
         c = dp_svi.constrain(p)          # atom leaves are LOCAL blocks
-        mu_b = c["qx_mean"][ix]
-        s_b = c["qx_var"][ix]
+        mu_b, s_b = dp_svi._qx(c, y_b, ix)   # gather or encode
         scale = jnp.asarray(n_total / b_total, y_b.dtype)
         stats = dispatch.dp_batched_suffstats(
             c["variance"], c["ard"], mu_b, s_b, c["z"], y_b,
@@ -422,11 +423,15 @@ def dp_svi_elbo_sharded(
 
     atom = P(MODEL_AXIS)
     pspec = {
-        "qx_mean": P(), "raw_qx_var": P(),
         "z": atom, "raw_variance": atom, "raw_ard": atom,
         "raw_noise": atom, "u_h": atom, "u_lam": atom,
         "phi_logits": P(), "raw_gamma1": P(), "raw_gamma2": P(),
     }
+    # resident q(X) table or recognition-network leaves: replicated
+    # either way (encoder weights are global variational params)
+    for k in params:
+        if k in ("qx_mean", "raw_qx_var") or k.startswith("enc_"):
+            pspec[k] = P()
     if learn_alpha:
         pspec["raw_alpha"] = P()
     sharded = jax.shard_map(

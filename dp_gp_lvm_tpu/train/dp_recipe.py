@@ -64,6 +64,15 @@ FROZEN_MANIFOLD = frozenset(
     {"qx_mean", "raw_qx_var", "z", "raw_variance", "raw_ard"}
 )
 
+
+def _frozen_manifold_for(params) -> frozenset:
+    """FROZEN_MANIFOLD extended to recognition-network leaves when the
+    model is amortized (models/amortized.py) — the encoder IS the
+    manifold parameterization there."""
+    return FROZEN_MANIFOLD | frozenset(
+        k for k in params if k.startswith("enc_")
+    )
+
 RECIPE = (
     "split-init: T=1 warm start + residual-quantile clone "
     "+ frozen-phi q(u) warmup + fixed-manifold CAVI "
@@ -216,7 +225,7 @@ def staged_dp_svi(
 
     if start_after in (None, STAGE_SPLIT, STAGE_WARM):
         opt_a = gp_optimizer(params, lr=lr, decay_steps=s2_assign,
-                             freeze=FROZEN_MANIFOLD)
+                             freeze=_frozen_manifold_for(params))
         assign_step = dp_svi.make_dp_svi_step(
             config, n_total, opt_a, rho=0.3, rho_phi=0.2,
             phi_update="cavi", mesh=mesh,

@@ -134,6 +134,12 @@ def gp_optimizer(
         ]
     transforms = {"hyper": optax.adam(hyper_lr), "var": optax.adam(lr),
                   "frozen": optax.set_to_zero()}
+    if ngd_lr is not None and "ngd" not in jax.tree_util.tree_leaves(labels):
+        # amortized q(X) (models/amortized.py) has no qx table leaves;
+        # the inverse-Fisher preconditioner would otherwise receive
+        # MaskedNodes from optax.multi_transform and crash
+        ngd_lr = None
+        ngd_sched = None
     if ngd_lr is not None:
         transforms["ngd"] = optax.chain(
             ngd_precondition(),

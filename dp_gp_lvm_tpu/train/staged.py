@@ -46,8 +46,12 @@ def masked_optimizer(
 # Conventional stage predicates for this model family ---------------------
 
 def variational_only(name: str) -> bool:
-    """Stage 1: q(X), inducing inputs, assignments; hypers frozen."""
-    return name in ("qx_mean", "raw_qx_var", "z", "phi_logits")
+    """Stage 1: q(X) (table or recognition net), inducing inputs,
+    assignments; hypers frozen."""
+    return (
+        name in ("qx_mean", "raw_qx_var", "z", "phi_logits")
+        or name.startswith("enc_")
+    )
 
 
 def everything(name: str) -> bool:

@@ -204,7 +204,8 @@ def main():
 
         mcfg = svi_gplvm.Config(num_latent=cfg.q, num_inducing=cfg.m,
                                 batch=args.batch or 1024,
-                                psi2_block=cfg.psi2_block)
+                                psi2_block=cfg.psi2_block,
+                                amortized=cfg.amortized)
         if cfg.missing_fraction > 0:
             # same clean protocol as config 5: strided interpolation
             # holdout, train-only standardization
@@ -235,7 +236,8 @@ def main():
                              truncation=cfg.t, alpha=cfg.alpha,
                              batch=args.batch or 2048,
                              psi2_block=cfg.psi2_block,
-                             ard_init=1.0 / cfg.q)
+                             ard_init=1.0 / cfg.q,
+                             amortized=cfg.amortized)
         init_fn = lambda k: dp_svi.init_params(k, data[0], mcfg)
         params = init_fn(rng)
         loss_fn = None          # stochastic: custom minibatch loop below
@@ -679,7 +681,12 @@ def main():
     if args.plots:
         from dp_gp_lvm_tpu import viz
 
-        qx = state.params["qx_mean"]
+        if "qx_mean" in state.params:
+            qx = state.params["qx_mean"]
+        else:                      # amortized: encode (capped) train rows
+            from dp_gp_lvm_tpu.models import amortized
+
+            qx, _ = amortized.encode(state.params, jnp.asarray(Y[:4096]))
         viz.plot_latent_scatter(
             qx, path=os.path.join(out_dir, "latent.png")
         )

@@ -103,3 +103,61 @@ def test_resume_false_ignores_checkpoints(tmp_path):
     # corrupt-by-meaning: a fresh run must NOT read these
     _, info = _run(Y, cfg, ckpt_dir=d, resume=False)
     assert "resumed_from" not in info
+
+
+def test_staged_recipe_on_mesh_matches_single_device():
+    """The staged recipe with mesh=... (the --mesh production path) is
+    the same math as single-device: same rngs, same stages — final
+    params agree to f32 psum reordering tolerance."""
+    from dp_gp_lvm_tpu.parallel import mesh as mesh_lib
+
+    Y, labels, _ = synthetic.grouped_dims(
+        jax.random.PRNGKey(3), n=64, dims_per_group=(4, 4), q=2,
+        noise=0.01
+    )
+    cfg = dp_svi.Config(num_latent=2, num_inducing=8, truncation=4,
+                        batch=16)
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+
+    def run(m):
+        state, _, info = dp_recipe.staged_dp_svi(
+            jax.random.PRNGKey(1), jax.random.PRNGKey(101), Y, cfg,
+            Y.shape[0], steps=20, chunk=5, lr=1e-2, ngd_lr=None,
+            drive=_drive, mesh=m, log=lambda s: None,
+        )
+        return state, info
+
+    s_single, _ = run(None)
+    s_mesh, info = run(mesh)
+    e1 = float(dp_svi.elbo(s_single.params, Y, cfg))
+    e2 = float(dp_svi.elbo(s_mesh.params, Y, cfg))
+    assert np.isfinite(e2)
+    np.testing.assert_allclose(e2, e1, rtol=5e-3)
+    for k in s_single.params:
+        np.testing.assert_allclose(
+            np.asarray(s_single.params[k]), np.asarray(s_mesh.params[k]),
+            rtol=0.05, atol=1e-4, err_msg=k,
+        )
+
+
+def test_staged_recipe_amortized():
+    """The staged recipe composes with amortized q(X): the stage-2b
+    manifold freeze extends to encoder leaves
+    (dp_recipe._frozen_manifold_for), the split keeps the encoder, and
+    the run finishes finite with encoder leaves intact."""
+    Y, labels, _ = synthetic.grouped_dims(
+        jax.random.PRNGKey(3), n=64, dims_per_group=(4, 4), q=2,
+        noise=0.01
+    )
+    cfg = dp_svi.Config(num_latent=2, num_inducing=8, truncation=3,
+                        batch=16, amortized=True, encoder_hidden=8)
+    state, _, info = dp_recipe.staged_dp_svi(
+        jax.random.PRNGKey(1), jax.random.PRNGKey(101), Y, cfg,
+        Y.shape[0], steps=20, chunk=5, lr=1e-2, ngd_lr=None,
+        drive=_drive, log=lambda s: None,
+    )
+    p = state.params
+    assert any(k.startswith("enc_") for k in p)
+    assert "qx_mean" not in p
+    assert p["u_h"].shape[0] == cfg.truncation
+    assert bool(jnp.all(jnp.isfinite(dp_svi.elbo(p, Y, cfg))))
