@@ -241,6 +241,43 @@ def test_amortized_streaming_step_equals_resident():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_amortized_streaming_on_mesh_equals_resident_mesh():
+    """The full beyond-HBM production composition in one step:
+    amortized q(X) x host-streamed batches x (data x model) mesh. The
+    streamed step equals the resident mesh step at equal indices — no
+    device-side q(X) state, no gather, rows psummed over the data axis,
+    atoms over the model axis."""
+    from dp_gp_lvm_tpu.models import dp_svi
+    from dp_gp_lvm_tpu.parallel import mesh as mesh_lib, recipe
+
+    Y, cfg, params = _dp_setup(t=2)
+    n = Y.shape[0]
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    opt = gp_optimizer(params, lr=1e-2)
+    idx = np.array([7, 7, 2, 31, 20, 1, 14, 9], np.int32)
+
+    res_step = dp_svi.make_dp_svi_step(
+        cfg._replace(batch=8), n, opt, rho=0.3, mesh=mesh,
+        sample_idx=lambda r: jnp.asarray(idx),
+    )
+    str_step = dp_svi.make_dp_svi_step(
+        cfg._replace(batch=8), n, opt, rho=0.3, mesh=mesh,
+        streaming=True,
+    )
+    p_m, (Y_m,) = recipe.place_svi("dp_svi", params, (Y,), mesh)
+    r = jax.random.PRNGKey(2)
+    st_res, m_res = res_step(init_state(p_m, opt), r, Y_m)
+    st_str, m_str = str_step(
+        init_state(p_m, opt), r, (jnp.asarray(idx), Y[idx])
+    )
+    np.testing.assert_allclose(float(m_res["loss"]),
+                               float(m_str["loss"]), rtol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(st_res.params),
+                    jax.tree_util.tree_leaves(st_str.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+
+
 def test_amortized_impute_from_encoder_init():
     """Serving: new rows with half the dims missing — the encoder
     provides the q(x*) init in one pass (missing dims filled at
