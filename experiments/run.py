@@ -50,6 +50,9 @@ def main():
                          "on small hosts / fake-device meshes)")
     ap.add_argument("--batch", type=int, default=None,
                     help="override the SVI minibatch size (smoke runs)")
+    ap.add_argument("--restarts", type=int, default=None,
+                    help="override the config's restart count "
+                         "(non-convex models keep the best final ELBO)")
     ap.add_argument("--resume", action="store_true",
                     help="staged dp_svi: restart at the first incomplete "
                          "stage using the boundary checkpoints in "
@@ -89,10 +92,13 @@ def main():
     )
 
     cfg = config_lib.get(args.config)
-    if args.n:
+    if args.n or args.restarts:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, n=args.n)
+        if args.n:
+            cfg = dataclasses.replace(cfg, n=args.n)
+        if args.restarts:
+            cfg = dataclasses.replace(cfg, restarts=args.restarts)
     steps = args.steps or cfg.steps
     dtype = jnp.float64 if args.f64 else jnp.float32
     rng = jax.random.PRNGKey(cfg.seed)
