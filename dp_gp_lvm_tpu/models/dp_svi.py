@@ -132,6 +132,10 @@ def init_params(rng, Y, config: Config):
     t, q, m = config.truncation, config.num_latent, config.num_inducing
     d = Y.shape[1]
     r_z, r_phi, r_hyp = jax.random.split(rng, 3)
+    # fold_in (not a wider split) so the encoder draw is independent of
+    # r_z/r_phi/r_hyp WITHOUT changing their values — resident-mode
+    # inits (and the calibrated c7 trajectory) stay bit-identical.
+    r_enc = jax.random.fold_in(rng, 7)
     x0 = pca_latents(Y, q).astype(dtype)
     z0 = inducing_from_latents(r_z, x0, m)
     ard_scale = 1.0 if config.ard_init is None else config.ard_init
@@ -141,10 +145,10 @@ def init_params(rng, Y, config: Config):
     from dp_gp_lvm_tpu.models import amortized
 
     params = {
-        **amortized.qx_leaves_or_encoder(r_z, Y, q, config),
+        **amortized.qx_leaves_or_encoder(r_enc, Y, q, config),
         "z": jnp.broadcast_to(z0, (t,) + z0.shape).copy(),
         "raw_variance": positive_inverse(jnp.ones((t,), dtype)),
-        "raw_ard": positive_inverse(jnp.maximum(ard0, 0.1)),
+        "raw_ard": positive_inverse(jnp.maximum(ard0, 0.1 * ard_scale)),
         "raw_noise": positive_inverse(jnp.full((t,), 0.1, dtype)),
         "phi_logits": near_uniform_assignments(r_phi, d, t).astype(dtype),
         "raw_gamma1": positive_inverse(jnp.ones((t - 1,), dtype)),
@@ -711,7 +715,12 @@ def split_single_atom(params, config: Config, spread: float = 1.5,
     noise1 = positive_noise(params["raw_noise"])[0] + 1e-6
     if residuals is not None:
         qs = (jnp.arange(t, dtype=residuals.dtype) + 0.5) / t
-        ladder = jnp.quantile(residuals, qs)
+        # expected_residuals is >= 0 only in exact arithmetic — f32
+        # cancellation on a well-fit low-noise dim can go slightly
+        # negative, and log(<=0) would NaN the cummax de-dup below and
+        # poison every later rung. Floor BEFORE the log (exact for any
+        # quantile already above min_noise).
+        ladder = jnp.maximum(jnp.quantile(residuals, qs), min_noise)
         # de-duplicate: when T > #distinct residual levels, adjacent
         # quantiles coincide and the tied clones sit 0 nats apart —
         # dims then scatter across the pair on minibatch noise and the

@@ -117,8 +117,10 @@ def qu_draws(rng, cache: PosteriorCache, num_samples: int, num_dims: int):
     m = K_uu w = L L^T w; Sigma_u^{1/2} = L LB^{-T} (see module docstring).
     """
     m_u = cache.L @ (cache.L.T @ cache.w)                # (M, D)
-    # C = L LB^{-T}: solve LB^T C^T = L^T  ->  C^T (M, M)
-    c_t = tri_solve(cache.LB, cache.L.T, lower=True, trans=True)
+    # C = L LB^{-T}: C^T = LB^{-1} L^T, i.e. solve LB C^T = L^T (no
+    # transpose — LB^T C^T = L^T would give C C^T = L (LB^T LB)^{-1} L^T,
+    # which is NOT Sigma_u = L B^{-1} L^T).
+    c_t = tri_solve(cache.LB, cache.L.T, lower=True)
     eps = jax.random.normal(
         rng, (num_samples, cache.L.shape[0], num_dims), dtype=cache.w.dtype
     )

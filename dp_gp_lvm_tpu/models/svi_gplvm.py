@@ -81,12 +81,15 @@ def init_params(rng, Y, config: Config):
     (PCA means, 0.5 variances — models/amortized.init_encoder)."""
     dtype = Y.dtype
     m, q, d = config.num_inducing, config.num_latent, Y.shape[1]
+    # fold_in (not a split) keeps z0 bit-identical to the pre-amortized
+    # init while giving the encoder its own independent stream.
+    r_enc = jax.random.fold_in(rng, 7)
     x0 = pca_latents(Y, q).astype(dtype)
     z0 = inducing_from_latents(rng, x0, m)
     from dp_gp_lvm_tpu.models import amortized
 
     return {
-        **amortized.qx_leaves_or_encoder(rng, Y, q, config),
+        **amortized.qx_leaves_or_encoder(r_enc, Y, q, config),
         "z": z0,
         "raw_variance": positive_inverse(jnp.asarray(1.0, dtype)),
         "raw_ard": positive_inverse(jnp.ones((q,), dtype)),

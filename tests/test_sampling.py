@@ -68,12 +68,13 @@ def test_qu_draw_moments(trained_cache):
     s = 40000
     u = sampling.qu_draws(jax.random.PRNGKey(7), cache, s, cache.w.shape[1])
     m_true = np.asarray(cache.L @ (cache.L.T @ cache.w))
-    c_t = np.asarray(
-        jax.scipy.linalg.solve_triangular(
-            cache.LB.T, cache.L.T, lower=False
-        )
-    )
-    cov_true = c_t.T @ c_t
+    # Sigma_u = L B^{-1} L^T, computed here via the EXPLICIT inverse of
+    # B = LB LB^T (independent of the factorization route the code takes,
+    # so a wrong-transpose factor in qu_draws cannot be self-consistent
+    # with this oracle).
+    L = np.asarray(cache.L)
+    LB = np.asarray(cache.LB)
+    cov_true = L @ np.linalg.inv(LB @ LB.T) @ L.T
     u_np = np.asarray(u)
     sd = np.sqrt(np.diag(cov_true)).max()
     assert np.max(np.abs(u_np.mean(0) - m_true)) < 5 * sd / np.sqrt(s)
