@@ -132,6 +132,18 @@ CONFIGS: dict[str, ExperimentConfig] = {
         n=131072, d=32, q=8, m=64, steps=6000, lr=3e-3,
         missing_fraction=0.5, psi2_block=8192, amortized=True,
     ),
+    # Beyond-reference: minibatch multi-view MRD-SVI (models/mrd_svi.py)
+    # at 128x the reference's data scale (reference MRD / c3 is
+    # full-batch-only). Shared q(X), per-view whitened q(u^v) by
+    # per-view stochastic natural gradient; cross-view prediction served
+    # from q(u) alone (no training data at serving time). Data is the
+    # c3 signal regime (q_shared=2, private_weight=0.5) through the
+    # O(n) RFF generator two_view_big.
+    "c9_mrd_svi_bigN": ExperimentConfig(
+        name="c9_mrd_svi_bigN", model="mrd_svi", dataset="two_view_big",
+        n=131072, d=64, q=4, m=32, views=(32, 32), steps=4000, lr=3e-3,
+        psi2_block=8192,
+    ),
 }
 
 
@@ -216,6 +228,15 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
         "predictive_loglik_per_dim": (">=", -1.2),
         "rows_per_sec": (">=", 150000.0),
         "elbo": (">=", -7.0e6),
+    },
+    # conservative first-run floors (the cross-view ratio ceiling on
+    # this generator regime is ~0.5, per the two_view docstring
+    # marginalization bound; big N should land well under the c3
+    # small-N 0.645) — tighten after the first committed TPU artifact
+    "c9_mrd_svi_bigN": {
+        "cross_view_mse_ratio": ("<=", 0.85),
+        "cross_view_pll_per_dim": (">=", -1.5),
+        "rows_per_sec": (">=", 80000.0),
     },
 }
 

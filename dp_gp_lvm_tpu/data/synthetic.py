@@ -81,6 +81,58 @@ def two_view(rng, n=100, d1=8, d2=8, q_shared=1, q_private=1, noise=0.01,
     return std(Y1), std(Y2), X
 
 
+def two_view_big(rng, n=131072, d1=32, d2=32, q_shared=2, q_private=1,
+                 noise=0.05, private_weight=0.5, num_features=64,
+                 lengthscale=1.5, dtype=jnp.float64):
+    """Big-N analogue of two_view for the minibatch MRD-SVI configs:
+    two views sharing q_shared latent dims (plus q_private each), drawn
+    through random Fourier features — an O(n) stand-in for two_view's
+    exact GP draw, which needs an (N, N) Cholesky and dies past a few
+    thousand rows (the same scaling trick as grouped_dims_big).
+
+    The RFF frequencies are scaled per latent dim by sqrt(ard)/ell, so
+    the generating kernel is ARD-RBF with the SAME shared/private ARD
+    signature as two_view: view 1 weights [1]*q_shared + [w]*q_private
+    + [0]*q_private, view 2 the mirror. private_weight and the
+    cross-view predictability ceiling behave exactly as documented on
+    two_view (the c3 regime is q_shared=2, w=0.5).
+
+    Returns (Y1, Y2, X) with X = [shared, priv1, priv2], both views
+    standardized per column."""
+    q = q_shared + 2 * q_private
+    r0, rf, ra, rn = jax.random.split(rng, 4)
+    X = jax.random.normal(r0, (n, q), dtype)
+    w = jnp.asarray(private_weight, dtype)
+    ards = (
+        jnp.concatenate([jnp.ones((q_shared,), dtype),
+                         w * jnp.ones((q_private,), dtype),
+                         jnp.zeros((q_private,), dtype)]),
+        jnp.concatenate([jnp.ones((q_shared,), dtype),
+                         jnp.zeros((q_private,), dtype),
+                         w * jnp.ones((q_private,), dtype)]),
+    )
+    Ys = []
+    for v, (ard, d_v) in enumerate(zip(ards, (d1, d2))):
+        freq = jax.random.normal(
+            jax.random.fold_in(rf, v), (q, num_features), dtype
+        ) * (jnp.sqrt(ard)[:, None] / lengthscale)
+        b = jax.random.uniform(
+            jax.random.fold_in(rf, 100 + v), (num_features,), dtype,
+            0.0, 2.0 * jnp.pi,
+        )
+        feats = jnp.sqrt(2.0 / num_features) * jnp.cos(X @ freq + b[None])
+        amp = jax.random.normal(
+            jax.random.fold_in(ra, v), (num_features, d_v), dtype
+        )
+        y = feats @ amp
+        y = y / y.std(axis=0)               # unit signal, THEN noise
+        y = y + noise * jax.random.normal(
+            jax.random.fold_in(rn, v), y.shape, dtype
+        )
+        Ys.append((y - y.mean(axis=0)) / y.std(axis=0))
+    return Ys[0], Ys[1], X
+
+
 def grouped_dims(rng, n=100, dims_per_group=(6, 6), q=3, noise=0.01,
                  dtype=jnp.float64):
     """Config-4 recovery data: groups of output dims, each group driven by a

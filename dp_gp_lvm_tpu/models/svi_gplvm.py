@@ -257,6 +257,13 @@ def optimal_qu(params, Y, config: Config, policy: JitterPolicy | None = None):
     )
     beta = 1.0 / c["noise"]
     a, A2, _ = _whitened_terms(c, stats, policy)
+    return optimal_qu_from_whitened(a, A2, beta)
+
+
+def optimal_qu_from_whitened(a, A2, beta):
+    """Closed-form optimal whitened q(u) from whitened statistics
+    (a, A2) and precision beta: S* = (I + beta A2)^{-1}, m* = beta S* a.
+    Shared with the multi-view SVI path (models/mrd_svi.py)."""
     m = A2.shape[0]
     # B = I + beta A2 has eigenvalues >= 1 — always PD, so chol it
     # UNJITTERED: the oracle identity (Hensman(m*, S*) == collapsed
@@ -281,28 +288,24 @@ def set_optimal_qu(params, Y, config: Config):
     return {**params, "u_mean": m_star, "raw_u_scale": raw}
 
 
-def predict_from_latent(params, x_mean, x_var, config: Config,
-                        policy: JitterPolicy | None = None):
-    """Predictive mean/variance at q(x*) = N(x_mean, diag(x_var)) rows,
-    directly from the explicit q(u) (no training data needed)."""
-    policy = policy or JitterPolicy()
-    c = constrain(params)
-    kuu = dispatch.gram(c["variance"], c["ard"], c["z"])
-    L, _ = safe_cholesky(kuu, policy)
-    p0, p1, p2 = dispatch.psi_stats(
+def _latent_row_pieces(c, L, x_mean, x_var, config: Config):
+    """Per-row psi-moment contractions shared by every q(u)-serving path
+    (single-view predict/infer and the multi-view mrd_svi paths):
+
+      phi    (N*, M): whitened feature L^{-1} psi1_n per row
+      gp_var (N*,)  : E[k_nn] - tr(A2_n) + tr(S A2_n) — the GP
+                      conditional-variance correction (dim-independent)
+      m_quad (N*, D): m_d^T A2_n m_d
+
+    with A2_n = L^{-1} Psi2_n L^{-T} the per-row second-moment tile."""
+    p0, p1, _ = dispatch.psi_stats(
         c["variance"], c["ard"], x_mean, x_var, c["z"],
         use_pallas=False, kernel=config.kernel,
     )
-    # whitened feature: phi_n = L^{-1} psi1_n   (per row)
     phi = tri_solve(L, p1.T).T                       # (N*, M)
-    mean = jnp.dot(phi, c["u_mean"], precision=_HIGHEST)
     ls = c["u_scale"]
     mu_u = c["u_mean"]
 
-    # Psi-moment predictive variance (exact under q(x*)):
-    #   Var_nd = sigma^2 + E[k_nn] - tr(A2_n) + tr(S A2_n)
-    #            + m_d^T A2_n m_d - (phi_n^T m_d)^2
-    # with A2_n = L^{-1} Psi2_n L^{-T} the per-row second-moment tile.
     def row_pieces(mu_n, s_n):
         _, _, p2n = dispatch.psi_stats(
             c["variance"], c["ard"], mu_n[None], s_n[None], c["z"],
@@ -320,9 +323,23 @@ def predict_from_latent(params, x_mean, x_var, config: Config,
     k_diag = dispatch.expected_gram_diag(
         c["variance"], c["ard"], x_mean, x_var, kernel=config.kernel
     )                                                # per-row E[k_nn]
-    var = (
-        (k_diag + gp_var)[:, None] + m_quad - mean * mean + c["noise"]
-    )
+    return phi, gp_var + k_diag, m_quad
+
+
+def predict_from_latent(params, x_mean, x_var, config: Config,
+                        policy: JitterPolicy | None = None):
+    """Predictive mean/variance at q(x*) = N(x_mean, diag(x_var)) rows,
+    directly from the explicit q(u) (no training data needed)."""
+    policy = policy or JitterPolicy()
+    c = constrain(params)
+    kuu = dispatch.gram(c["variance"], c["ard"], c["z"])
+    L, _ = safe_cholesky(kuu, policy)
+    # Psi-moment predictive variance (exact under q(x*)):
+    #   Var_nd = sigma^2 + E[k_nn] - tr(A2_n) + tr(S A2_n)
+    #            + m_d^T A2_n m_d - (phi_n^T m_d)^2
+    phi, gp_var, m_quad = _latent_row_pieces(c, L, x_mean, x_var, config)
+    mean = jnp.dot(phi, c["u_mean"], precision=_HIGHEST)
+    var = gp_var[:, None] + m_quad - mean * mean + c["noise"]
     return mean, var
 
 
@@ -367,7 +384,7 @@ def infer_latent(
     c = constrain(params)
     kuu = dispatch.gram(c["variance"], c["ard"], c["z"])
     L, _ = safe_cholesky(kuu, policy)
-    mu_u, ls = c["u_mean"], c["u_scale"]
+    mu_u = c["u_mean"]
     beta = 1.0 / c["noise"]
     log2pi = jnp.log(2.0 * jnp.pi).astype(y_star.dtype)
     dtype = y_star.dtype
@@ -378,39 +395,14 @@ def infer_latent(
 
     def objective(vp):
         s = positive_variational_var(vp["raw_s"])
-        p0, p1, p2 = dispatch.psi_stats(
-            c["variance"], c["ard"], vp["m"], s, c["z"],
-            use_pallas=False, kernel=config.kernel,
-        )
-        phi = tri_solve(L, p1.T).T                     # (N*, M)
-        f_mean = jnp.dot(phi, mu_u, precision=_HIGHEST)  # (N*, D)
-        # per-row second-moment tile contractions (masked rows only pay
-        # for observed dims via the mask weights below)
-        def row_pieces(mu_n, s_n):
-            _, _, p2n = dispatch.psi_stats(
-                c["variance"], c["ard"], mu_n[None], s_n[None], c["z"],
-                use_pallas=False, kernel=config.kernel,
-            )
-            half = tri_solve(L, p2n)
-            a2n = tri_solve(L, half.T)
-            t_s = jnp.sum(jnp.dot(a2n, ls, precision=_HIGHEST) * ls)
-            t_m = jnp.sum(
-                mu_u * jnp.dot(a2n, mu_u, precision=_HIGHEST), axis=0
-            )
-            return t_s - jnp.trace(a2n), t_m
-
-        gp_var, m_quad = jax.vmap(row_pieces)(vp["m"], s)
-        k_diag = dispatch.expected_gram_diag(
-            c["variance"], c["ard"], vp["m"], s, kernel=config.kernel
-        )
         # E[(y - f)^2] = y^2 - 2 y E[f] + E[f^2];  E[f^2] = m_quad +
-        # (tr(S A2_n) added once per dim) ... per (n, d):
+        # the dim-independent conditional-var correction gp_var
+        # (masked rows only pay for observed dims via the mask weights)
+        phi, gp_var, m_quad = _latent_row_pieces(c, L, vp["m"], s, config)
+        f_mean = jnp.dot(phi, mu_u, precision=_HIGHEST)  # (N*, D)
         sq = (
             y_star * y_star - 2.0 * y_star * f_mean + m_quad
-            + (gp_var + k_diag)[:, None]
-            # E[k_nn] - tr(A2_n) + tr(S A2_n) is the conditional-var
-            # correction, identical across dims (added via gp_var +
-            # variance above; note m_quad already holds m^T A2_n m)
+            + gp_var[:, None]
         )
         ell = jnp.sum(
             mask * (-0.5 * (log2pi + jnp.log(c["noise"])) - 0.5 * beta * sq)

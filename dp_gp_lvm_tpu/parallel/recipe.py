@@ -66,7 +66,10 @@ def place_svi(model: str, params, data: tuple, mesh: Mesh):
     replicates (rows are gathered by index each step)."""
     if model == "dp_svi":
         p_shard, rep = auto.dp_svi_shardings(mesh, params)
-    elif model == "svi_gplvm":
+    elif model in ("svi_gplvm", "mrd_svi"):
+        # mrd_svi replicates everything too (per-view q(u^v) is tiny;
+        # batch rows shard inside the step program) — tree_map descends
+        # into the nested views list
         p_shard, rep = auto.svi_shardings(mesh, params)
     else:
         raise ValueError(f"not an SVI family: {model!r}")

@@ -354,6 +354,79 @@ def svi_loss_sharded(params, y_batch, idx, n_total, config, mesh):
     return -svi_elbo_sharded(params, y_batch, idx, n_total, config, mesh)
 
 
+def mrd_svi_elbo_sharded(
+    params, y_batches, idx, n_total: int, config, mesh: Mesh,
+    policy: JitterPolicy = JitterPolicy(), with_aux: bool = False,
+):
+    """Data-parallel minibatch MRD-SVI (models/mrd_svi.py): the aligned
+    batch rows of EVERY view (and their latent indices) shard over
+    "data"; the shared q(X) table/encoder, each view's whitened q(u^v),
+    and all hypers replicate. Each device computes its row-shard's
+    partial per-view SuffStats, one psum per view forms the global batch
+    statistics (V small psums — still one collective round, XLA fuses
+    adjacent all-reduces), and the per-view whitened bounds evaluate
+    replicated. Exact vs the single-device elbo_minibatch (tested).
+
+    with_aux=True additionally returns the per-view (a, A2, beta)
+    whitened statistics for the per-view natural-gradient q(u^v) blend
+    (models/mrd_svi.make_svi_natgrad_step with mesh=...)."""
+    from dp_gp_lvm_tpu.models import amortized
+    from dp_gp_lvm_tpu.models import mrd_svi
+    from dp_gp_lvm_tpu.models import svi_gplvm as svi
+
+    b_total = y_batches[0].shape[0]
+
+    def program(p, y_bs, ix):
+        c_views = mrd_svi.constrain_views(p)
+        y_cat = jnp.concatenate(list(y_bs), axis=1)
+        mu_b, s_b = amortized.qx_batch(c_views[0], y_cat, ix)
+        scale = jnp.asarray(n_total / b_total, y_cat.dtype)
+        bounds, whitened = [], []
+        for c, y_b in zip(c_views, y_bs):
+            stats = dispatch.suff_stats(
+                c["variance"], c["ard"], mu_b, s_b, c["z"], y_b,
+                block_n=config.psi2_block,
+                use_pallas=_resolve_pallas(
+                    config.use_pallas, config.kernel, 1, mu_b.shape[0],
+                    c["z"].shape[0],
+                ),
+                kernel=config.kernel,
+            )
+            stats = _psum_stats(stats, DATA_AXIS)
+            stats = stats._replace(
+                psi0=stats.psi0 * scale, psi1T_y=stats.psi1T_y * scale,
+                psi2=stats.psi2 * scale, yty=stats.yty * scale,
+                n=stats.n * scale,
+            )
+            bound_v, a, A2 = svi._bound_and_whitened(c, stats, 0.0, policy)
+            bounds.append(bound_v)
+            whitened.append((a, A2, 1.0 / c["noise"]))
+        kl_x = scale * jax.lax.psum(
+            gaussian.kl_to_standard_normal(mu_b, s_b), DATA_AXIS
+        )
+        bound = sum(bounds) - kl_x
+        if with_aux:
+            return bound, tuple(whitened)
+        return bound
+
+    n_views = len(y_batches)
+    aux_spec = tuple((P(), P(), P()) for _ in range(n_views))
+    sharded = jax.shard_map(
+        program,
+        mesh=mesh,
+        in_specs=(P(), tuple(P(DATA_AXIS) for _ in range(n_views)),
+                  P(DATA_AXIS)),
+        out_specs=(P(), aux_spec) if with_aux else P(),
+        check_vma=False,
+    )
+    return sharded(params, tuple(y_batches), idx)
+
+
+def mrd_svi_loss_sharded(params, y_batches, idx, n_total, config, mesh):
+    return -mrd_svi_elbo_sharded(params, y_batches, idx, n_total, config,
+                                 mesh)
+
+
 def dp_svi_elbo_sharded(
     params, y_batch, idx, n_total: int, config, mesh: Mesh,
     policy: JitterPolicy = JitterPolicy(), with_aux: bool = False,

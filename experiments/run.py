@@ -130,6 +130,18 @@ def main():
         Y1_test, Y2_test = Y1[~keep], Y2[~keep]
         Y1, Y2 = Y1[keep], Y2[keep]
         data = (Y1, Y2)
+    elif cfg.dataset == "two_view_big":
+        # c9: O(n) RFF two-view draw in the c3 signal regime, +512
+        # held-out rows from the SAME draw for the cross-view metric
+        n_hold = 512
+        Y1, Y2, _ = synthetic.two_view_big(
+            rng, n=cfg.n + n_hold, d1=cfg.views[0], d2=cfg.views[1],
+            q_shared=2, q_private=1, private_weight=0.5, dtype=dtype,
+        )
+        Y1_test, Y2_test = Y1[cfg.n:], Y2[cfg.n:]
+        Y1, Y2 = Y1[:cfg.n], Y2[:cfg.n]
+        tag = "synthetic:two_view_big"
+        data = (Y1, Y2)
     elif cfg.dataset == "pose":
         Y, _, _ = synthetic.pose_like(rng, n=cfg.n, dtype=dtype)
         tag = "synthetic:pose_like"
@@ -232,6 +244,19 @@ def main():
         params = init_fn(rng)
         loss_fn = None          # stochastic: custom minibatch loop below
         terms_fn = lambda p: {"elbo": svi_gplvm.elbo(p, data[0], mcfg)}
+    elif cfg.model == "mrd_svi":
+        from dp_gp_lvm_tpu.models import mrd_svi
+
+        mcfg = mrd_svi.Config(num_latent=cfg.q, num_inducing=cfg.m,
+                              num_views=len(cfg.views),
+                              batch=args.batch or 1024,
+                              psi2_block=cfg.psi2_block,
+                              amortized=cfg.amortized,
+                              view_dims=tuple(cfg.views))
+        init_fn = lambda k: mrd_svi.init_params(k, list(data), mcfg)
+        params = init_fn(rng)
+        loss_fn = None          # stochastic: custom minibatch loop below
+        terms_fn = lambda p: {"elbo": mrd_svi.elbo(p, list(data), mcfg)}
     elif cfg.model == "dp_svi":
         from dp_gp_lvm_tpu.models import dp_svi
 
@@ -279,7 +304,7 @@ def main():
     optimizer = gp_optimizer(params, lr=cfg.lr, decay_steps=steps,
                              ngd_lr=ngd_lr)
 
-    if cfg.model in ("svi_gplvm", "dp_svi"):
+    if cfg.model in ("svi_gplvm", "dp_svi", "mrd_svi"):
         # stochastic minibatch loop: CHUNK steps per dispatch via
         # lax.scan with per-step rng (pattern of experiments/svi_scale.py)
         import optax as _optax
@@ -287,8 +312,9 @@ def main():
         from dp_gp_lvm_tpu.models import svi_gplvm
         from dp_gp_lvm_tpu.train.loop import TrainState
 
-        Y_res = data[0]
-        n_total = Y_res.shape[0]
+        # mrd_svi steps take the TUPLE of resident views (aligned rows)
+        Y_res = tuple(data) if cfg.model == "mrd_svi" else data[0]
+        n_total = data[0].shape[0]
         # minibatch steps are ~1 ms; a small chunk makes the host
         # round-trip the bottleneck on the tunneled TPU (~1.5 s per
         # dispatch), so floor the scan length at 250 there. On CPU the
@@ -369,6 +395,13 @@ def main():
                     mcfg, n_total, optimizer, rho=0.3, rho_phi=0.1,
                     mesh=mesh, streaming=args.stream,
                 )
+            elif cfg.model == "mrd_svi":
+                from dp_gp_lvm_tpu.models import mrd_svi
+
+                nat_step = mrd_svi.make_svi_natgrad_step(
+                    mcfg, n_total, optimizer, rho=0.2, mesh=mesh,
+                    streaming=args.stream,
+                )
             else:
                 nat_step = svi_gplvm.make_svi_natgrad_step(
                     mcfg, n_total, optimizer, rho=0.2, mesh=mesh,
@@ -387,9 +420,14 @@ def main():
                     make_streaming_scan_fn,
                 )
 
+                # mrd_svi streams ONE concatenated (N, sum D_v) matrix;
+                # the step splits columns back via Config.view_dims
+                Y_flat = (_np.concatenate(
+                    [_np.asarray(y, _np.float32) for y in Y_res], axis=1
+                ) if isinstance(Y_res, tuple)
+                    else _np.asarray(Y_res, _np.float32))
                 y_path = _stream.write_rows(
-                    os.path.join(out_dir, "y_stream.f32"),
-                    _np.asarray(Y_res, _np.float32),
+                    os.path.join(out_dir, "y_stream.f32"), Y_flat,
                 )
                 scan_chunk = make_streaming_scan_fn(nat_step)
                 if mesh is not None:
@@ -410,7 +448,7 @@ def main():
                 t_post = None
                 done = 0
                 with _stream.ChunkStream(
-                    _stream.open_loader(y_path, n_total, Y_res.shape[1]),
+                    _stream.open_loader(y_path, n_total, Y_flat.shape[1]),
                     batch=mcfg.batch, chunk=chunk, seed=cfg.seed + 7,
                 ) as cs:
                     while done < steps:
@@ -572,6 +610,37 @@ def main():
         print(f"[{cfg.name}] cross-view mse={mse:.4f} "
               f"(baseline {base:.4f}, ratio {mse/base:.3f}) pll={pll:.4f}",
               flush=True)
+
+    if cfg.model == "mrd_svi":
+        # cross-view prediction on the held-out rows, served from the
+        # explicit q(u^v) alone (no training data at serving time —
+        # unlike the collapsed-mrd branch above, which rebuilds
+        # posterior caches from full-batch statistics)
+        from dp_gp_lvm_tpu.models import mrd_svi
+
+        t_pred = time.time()
+        mean, var, *_ = mrd_svi.cross_view_predict(
+            state.params, {0: Y1_test}, 1, mcfg, num_steps=300,
+        )
+        jax.block_until_ready(mean)
+        pred_s = time.time() - t_pred
+        ones = jnp.ones_like(Y2_test)
+        mse = float(jnp.mean((mean - Y2_test) ** 2))
+        base = float(jnp.mean((data[1].mean(axis=0) - Y2_test) ** 2))
+        pll = float(prediction.gaussian_predictive_loglik(
+            Y2_test, mean, var, ones) / ones.size)
+        rel = mrd_svi.ard_relevance(state.params)
+        result["cross_view_mse"] = mse
+        result["cross_view_mse_baseline"] = base
+        result["cross_view_mse_ratio"] = mse / base
+        result["cross_view_pll_per_dim"] = pll
+        result["cross_view_seconds"] = round(pred_s, 3)
+        result["ard_relevance"] = [
+            [round(float(a), 6) for a in row] for row in rel
+        ]
+        print(f"[{cfg.name}] cross-view mse={mse:.4f} "
+              f"(baseline {base:.4f}, ratio {mse/base:.3f}) pll={pll:.4f} "
+              f"({pred_s:.1f}s, served from q(u) alone)", flush=True)
 
     if cfg.model == "dp_gp_lvm" and cfg.missing_fraction > 0:
         d = Y_test.shape[1]

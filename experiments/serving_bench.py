@@ -5,6 +5,9 @@ the BASELINE mocap scale (N=1024, D=59, T=20, M=64) across batch sizes,
 for both the fixed-unroll and the tol-early-stop latent-inference modes,
 and verifies compile-once behavior by the jitted function's cache size
 (one compiled program per batch shape — no per-request retracing).
+Also benches the amortized encoder imputer (one forward pass, no
+per-row optimization; models/amortized.py) with and without a short
+masked-ELL refinement, as the latency floor of the serving path.
 
 Axon-relay timing rules (CLAUDE.md): the relay content-caches IDENTICAL
 dispatches, so every timed request uses a DISTINCT input batch; requests
@@ -106,6 +109,42 @@ def main():
         # timed repeats retraced
         n_cached = imputer._cache_size()
         assert n_cached == len(BATCHES), (mode, n_cached)
+
+    # --- amortized (encoder) serving: one forward pass, no per-row
+    # optimization loop — the latency ceiling for the imputation path.
+    # Briefly trained so the jitted program sees realistic magnitudes.
+    from dp_gp_lvm_tpu.models import svi_gplvm
+
+    enc_config = svi_gplvm.Config(
+        num_inducing=M, num_latent=Q, amortized=True
+    )
+    enc_params = svi_gplvm.init_params(rng, Y, enc_config)
+    enc_params, _ = fit(
+        lambda p, y: svi_gplvm.loss(p, y, enc_config), enc_params, (Y,),
+        args.train_steps, lr=3e-3,
+    )
+    for mode, refine in (("encoder", 0), ("encoder+refine25", 25)):
+        enc_imputer = serving.make_encoder_imputer(
+            enc_params, enc_config, model="svi_gplvm", refine_steps=refine
+        )
+        for b in BATCHES:
+
+            def make_args(k, b=b):
+                r = jax.random.PRNGKey(7000 * b + k)
+                y = jax.random.normal(r, (b, D), dtype)
+                mask = jnp.ones((b, D), dtype).at[:, D // 2 :].set(0.0)
+                return y, mask
+
+            sec = bench_callable(enc_imputer, make_args)
+            rows.append(
+                {
+                    "mode": mode,
+                    "batch": b,
+                    "ms_per_request": round(sec * 1e3, 3),
+                    "ms_per_row": round(sec * 1e3 / b, 4),
+                }
+            )
+            print(rows[-1], flush=True)
 
     # the default (auto) mode must not lose to either fixed mode at any
     # batch size (10% timing-noise margin) — the VERDICT r2 weak-5 gate

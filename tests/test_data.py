@@ -119,3 +119,33 @@ def test_synthetic_generators_shapes():
     assert Y.shape == (20, 7) and labels.shape == (7,)
     Y1, Y2, X = synthetic.two_view(rng, n=16, d1=3, d2=5)
     assert Y1.shape == (16, 3) and Y2.shape == (16, 5)
+
+
+def test_two_view_big_standardized_and_shared_signal():
+    """O(n) RFF two-view generator (c9): standardized columns, and the
+    shared latent dims actually carry cross-view signal — rows close in
+    the shared coordinates have correlated view-2 values given view-1
+    proximity (checked via the generating X, which the function
+    returns)."""
+    rng = jax.random.PRNGKey(3)
+    Y1, Y2, X = synthetic.two_view_big(rng, n=4096, d1=6, d2=4,
+                                       q_shared=2, q_private=1,
+                                       private_weight=0.5)
+    assert Y1.shape == (4096, 6) and Y2.shape == (4096, 4)
+    assert X.shape == (4096, 4)
+    for Y in (Y1, Y2):
+        np.testing.assert_allclose(np.asarray(Y.mean(axis=0)), 0.0,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(Y.std(axis=0)), 1.0,
+                                   rtol=1e-6)
+    # shared signal: nearest-neighbour in the SHARED latent coords
+    # predicts view 2 far better than chance (the generating ARD gives
+    # the shared dims unit weight in BOTH views)
+    import numpy as _np
+
+    Xs = _np.asarray(X[:, :2])
+    Y2n = _np.asarray(Y2)
+    d2 = ((Xs[:512, None, :] - Xs[None, 512:1536, :]) ** 2).sum(-1)
+    nn = 512 + d2.argmin(axis=1)
+    mse_nn = float(((Y2n[:512] - Y2n[nn]) ** 2).mean())
+    assert mse_nn < 0.75, mse_nn  # vs ~2.0 for random pairing
