@@ -140,6 +140,32 @@ def make_dp_svi_imputer(
     return impute
 
 
+def make_mrd_svi_predictor(
+    params, config, observed_view: int, target_view: int,
+    num_steps: int = 150, lr: float = 0.05,
+    tol: float | str | None = "auto",
+) -> Callable:
+    """Cross-view serving for the minibatch MRD family
+    (models/mrd_svi.py): jitted `predict(y_observed_view) -> (mean,
+    var)` from the explicit q(u^v) alone — unlike
+    make_mrd_cross_view_predictor there is NO training data in the
+    closure at all (no posterior-cache rebuild from full-batch
+    statistics), so the factory works for models trained at any N,
+    including streamed datasets that never lived on the device."""
+    from dp_gp_lvm_tpu.models import mrd_svi
+
+    @jax.jit
+    def predict(y_obs):
+        t, steps = _resolve(tol, num_steps, y_obs.shape[0])
+        mean, var, *_ = mrd_svi.cross_view_predict(
+            params, {observed_view: y_obs}, target_view, config,
+            num_steps=steps, lr=lr, tol=t,
+        )
+        return mean, var
+
+    return predict
+
+
 def make_encoder_imputer(
     params, config, model: str = "svi_gplvm",
     refine_steps: int = 0, lr: float = 0.05,

@@ -253,6 +253,28 @@ def test_mrd_svi_streaming_step_matches_resident():
                                    rtol=1e-10, atol=1e-12)
 
 
+def test_serving_predictor_matches_pipeline():
+    """The compile-once cross-view predictor returns the same results
+    as the one-shot pipeline (no training data in the closure)."""
+    from dp_gp_lvm_tpu.models import serving
+
+    Ys, cfg, params = _setup()
+    params = mrd_svi.set_optimal_qu(params, Ys, cfg)
+    y_obs = Ys[0][:8]
+    mean_ref, var_ref, *_ = mrd_svi.cross_view_predict(
+        params, {0: y_obs}, 1, cfg, num_steps=50
+    )
+    predictor = serving.make_mrd_svi_predictor(
+        params, cfg, observed_view=0, target_view=1, num_steps=50,
+        tol=None,
+    )
+    mean, var = predictor(y_obs)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_amortized_mrd_svi_init_equality_and_training():
     """Amortized q(X) over the concatenated views: at init the encoder
     reproduces the resident init exactly, so the bounds are EQUAL; a
