@@ -130,6 +130,30 @@ def qu_draws(rng, cache: PosteriorCache, num_samples: int, num_dims: int):
     return u
 
 
+def _feature_basis(r_w, r_b, kernel, variance, ard, num_features,
+                   num_latent, dtype):
+    """(freqs, phases, scale) for the prior feature map (module
+    docstring): exact Q linear features, or L RFF cosines for ard_rbf."""
+    if kernel == "linear":
+        # exact features: phi(x) = sqrt(sigma^2 alpha) * x  (Q of them)
+        freqs = jnp.sqrt(variance * ard)[:, None] * jnp.eye(
+            num_latent, dtype=dtype
+        )
+        phases = jnp.zeros((num_latent,), dtype)
+        scale = jnp.asarray(1.0, dtype)
+    elif kernel == "ard_rbf":
+        freqs = jnp.sqrt(ard)[None, :] * jax.random.normal(
+            r_w, (num_features, num_latent), dtype=dtype
+        )
+        phases = jax.random.uniform(
+            r_b, (num_features,), dtype, 0.0, 2.0 * jnp.pi
+        )
+        scale = jnp.sqrt(2.0 * variance / num_features).astype(dtype)
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
+    return freqs, phases, scale
+
+
 def make_pathwise_sampler(
     rng,
     cache: PosteriorCache,
@@ -151,24 +175,11 @@ def make_pathwise_sampler(
     dtype = cache.w.dtype
     d = cache.w.shape[1]
     r_w, r_b, r_wts, r_u = jax.random.split(rng, 4)
-    if kernel == "linear":
-        # exact features: phi(x) = sqrt(sigma^2 alpha) * x  (Q of them)
-        num_features = num_latent
-        freqs = jnp.sqrt(cache.variance * cache.ard)[:, None] * jnp.eye(
-            num_latent, dtype=dtype
-        )
-        phases = jnp.zeros((num_features,), dtype)
-        scale = jnp.asarray(1.0, dtype)
-    elif kernel == "ard_rbf":
-        freqs = jnp.sqrt(cache.ard)[None, :] * jax.random.normal(
-            r_w, (num_features, num_latent), dtype=dtype
-        )
-        phases = jax.random.uniform(
-            r_b, (num_features,), dtype, 0.0, 2.0 * jnp.pi
-        )
-        scale = jnp.sqrt(2.0 * cache.variance / num_features).astype(dtype)
-    else:
-        raise ValueError(f"unknown kernel {kernel!r}")
+    freqs, phases, scale = _feature_basis(
+        r_w, r_b, kernel, cache.variance, cache.ard, num_features,
+        num_latent, dtype,
+    )
+    num_features = freqs.shape[0]
     wts = jax.random.normal(r_wts, (num_samples, num_features, d), dtype)
 
     partial = PathwiseSampler(
@@ -186,6 +197,67 @@ def make_pathwise_sampler(
     v_flat = tri_solve(
         cache.L, tri_solve(cache.L, rhs_flat), trans=True
     )
+    v = jnp.moveaxis(v_flat.reshape(m, num_samples, d), 0, 1)
+    return dataclasses.replace(partial, v=v)
+
+
+def make_svi_pathwise_sampler(
+    rng,
+    params,
+    config,
+    num_samples: int,
+    num_features: int = 2048,
+) -> PathwiseSampler:
+    """Pathwise draws from the EXPLICIT whitened q(u) of the SVI
+    families (models/svi_gplvm.py; a view of models/mrd_svi.py via
+    `mrd_svi._view_params`): the whitened parameterization is
+    u = L v with v ~ N(u_mean, Ls Ls^T) and L = chol(K_uu), so exact
+    q(u) draws are
+
+        u_s = L (u_mean + Ls eps_s),   eps_s ~ N(0, I_M)
+
+    and Matheron's correction solves against the same L. Unlike
+    make_pathwise_sampler there is NO collapsed cache and NO training
+    data involved — the generative path works for models trained at any
+    N (streamed datasets included), the same property as the SVI
+    serving paths. Returns the same PathwiseSampler pytree; evaluate
+    with sample_at()."""
+    from dp_gp_lvm_tpu.core.types import JitterPolicy
+    from dp_gp_lvm_tpu.linalg import safe_cholesky
+    from dp_gp_lvm_tpu.models import svi_gplvm as svi
+    from dp_gp_lvm_tpu.ops import dispatch
+
+    c = svi.constrain(params)
+    kernel = config.kernel
+    dtype = c["u_mean"].dtype
+    m, d = c["u_mean"].shape
+    q = c["ard"].shape[0]
+    kuu = dispatch.gram(c["variance"], c["ard"], c["z"], kernel=kernel)
+    L, _ = safe_cholesky(kuu, JitterPolicy())
+
+    r_w, r_b, r_wts, r_u = jax.random.split(rng, 4)
+    freqs, phases, scale = _feature_basis(
+        r_w, r_b, kernel, c["variance"], c["ard"], num_features, q, dtype,
+    )
+    num_features = freqs.shape[0]
+    wts = jax.random.normal(r_wts, (num_samples, num_features, d), dtype)
+
+    partial = PathwiseSampler(
+        freqs=freqs, phases=phases, scale=scale, wts=wts,
+        v=jnp.zeros((num_samples, m, d), dtype),
+        variance=c["variance"], ard=c["ard"], z=c["z"], kernel=kernel,
+    )
+    phi_z = _prior_features(c["z"], partial)             # (M, L)
+    f0_z = jnp.einsum("ml,sld->smd", phi_z, wts, precision=_HIGHEST)
+    # exact whitened draws: u_s = L (m_v + Ls eps_s)
+    eps = jax.random.normal(r_u, (num_samples, m, d), dtype)
+    v_s = c["u_mean"][None] + jnp.einsum(
+        "mk,skd->smd", c["u_scale"], eps, precision=_HIGHEST
+    )
+    u = jnp.einsum("mk,skd->smd", L, v_s, precision=_HIGHEST)
+    rhs = u - f0_z                                       # (S, M, D)
+    rhs_flat = jnp.moveaxis(rhs, 1, 0).reshape(m, -1)    # (M, S*D)
+    v_flat = tri_solve(L, tri_solve(L, rhs_flat), trans=True)
     v = jnp.moveaxis(v_flat.reshape(m, num_samples, d), 0, 1)
     return dataclasses.replace(partial, v=v)
 

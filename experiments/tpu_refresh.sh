@@ -49,7 +49,13 @@ run_job c8 5400 python experiments/run.py c8_amortized_svi --out results/c8
 # 3. Serving latency refresh including the new encoder-imputer rows.
 run_job serving 3600 python experiments/serving_bench.py --out results/serving_bench.json
 
+# 4. c9_mrd_svi_bigN first full-scale run (gates are UNCALIBRATED
+#    floors — calibrate CHECKS from results/c9/result.json, then re-run
+#    with --check).
+run_job c9 5400 python experiments/run.py c9_mrd_svi_bigN --out results/c9
+
 echo "== summary =="
 for k in "${!STATUS[@]}"; do echo "$k: ${STATUS[$k]}"; done
-echo "next: calibrate CHECKS[c8_amortized_svi] from results/c8/result.json,"
-echo "      then: python experiments/run.py c8_amortized_svi --check"
+echo "next: calibrate CHECKS[c8_amortized_svi] / CHECKS[c9_mrd_svi_bigN]"
+echo "      from results/c8/result.json and results/c9/result.json,"
+echo "      then re-run both with --check"

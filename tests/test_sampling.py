@@ -206,3 +206,62 @@ def test_dp_mixture_sample_moments(trained_dp):
         axis=1,
     )
     assert np.max(np.abs(freqs - np.asarray(phi))) < 0.05
+
+
+def test_svi_pathwise_moments():
+    """Pathwise draws from the EXPLICIT whitened q(u) (SVI families):
+    sample moments match svi_gplvm.predict_from_latent at deterministic
+    x* within combined MC + RFF tolerance — no collapsed cache, no
+    training data in the sampler."""
+    from dp_gp_lvm_tpu.models import svi_gplvm
+
+    rng = jax.random.PRNGKey(31)
+    Y, _ = synthetic.toy_gplvm(rng, n=48, d=6, q_true=2, noise=0.01)
+    cfg = svi_gplvm.Config(num_latent=2, num_inducing=10)
+    params = svi_gplvm.init_params(jax.random.PRNGKey(32), Y, cfg)
+    params, _ = fit(
+        lambda p, y: svi_gplvm.loss(p, y, cfg), params, (Y,), 250,
+        lr=2e-2,
+    )
+    params = svi_gplvm.set_optimal_qu(params, Y, cfg)
+    x_star = svi_gplvm.constrain(params)["qx_mean"][:9]
+    s = 8000
+    smp = sampling.make_svi_pathwise_sampler(
+        jax.random.PRNGKey(33), params, cfg, num_samples=s,
+        num_features=4096,
+    )
+    f = np.asarray(sampling.sample_at(smp, x_star))      # (S, N*, D)
+    mean_true, var_full = svi_gplvm.predict_from_latent(
+        params, x_star, jnp.zeros_like(x_star), cfg
+    )
+    noise = float(svi_gplvm.constrain(params)["noise"])
+    mean_true = np.asarray(mean_true)
+    var_true = np.maximum(np.asarray(var_full) - noise, 0.0)
+    scale = np.sqrt(float(np.asarray(smp.variance)))
+    assert np.max(np.abs(f.mean(0) - mean_true)) < 0.1 * scale
+    assert np.max(
+        np.abs(np.sqrt(f.var(0)) - np.sqrt(var_true))
+    ) < 0.1 * scale
+
+
+def test_mrd_svi_view_sampler_smoke():
+    """A view of the multi-view model samples through the same path
+    (mrd_svi._view_params bridges to the single-view sampler)."""
+    from dp_gp_lvm_tpu.models import mrd_svi
+
+    Y1, Y2, _ = synthetic.two_view(jax.random.PRNGKey(0), n=40, d1=4,
+                                   d2=5)
+    cfg = mrd_svi.Config(num_latent=3, num_inducing=8, num_views=2)
+    params = mrd_svi.init_params(jax.random.PRNGKey(1), (Y1, Y2), cfg)
+    params = mrd_svi.set_optimal_qu(params, (Y1, Y2), cfg)
+    from dp_gp_lvm_tpu.models import svi_gplvm
+
+    scfg = svi_gplvm.Config(num_latent=3, num_inducing=8)
+    smp = sampling.make_svi_pathwise_sampler(
+        jax.random.PRNGKey(2), mrd_svi._view_params(params, 1), scfg,
+        num_samples=32, num_features=1024,
+    )
+    x_star = params["qx_mean"][:5]
+    f = np.asarray(sampling.sample_at(smp, x_star))
+    assert f.shape == (32, 5, 5)
+    assert np.all(np.isfinite(f))
