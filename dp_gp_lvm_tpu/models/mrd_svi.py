@@ -153,7 +153,8 @@ def _bounds_per_view(c_views, y_views, mu, s, config: Config, policy,
                 psi2=stats.psi2 * scale, yty=stats.yty * scale,
                 n=stats.n * scale,
             )
-        bound_v, a, A2 = svi._bound_and_whitened(c, stats, 0.0, policy)
+        bound_v, a, A2 = svi._bound_and_whitened(c, stats, 0.0, policy,
+                                                  config.kernel)
         bounds.append(bound_v)
         whitened.append((a, A2, 1.0 / c["noise"]))
     return bounds, whitened
@@ -425,7 +426,8 @@ def infer_latent(params, observed: dict[int, jnp.ndarray], m_init,
     return vp["m"], positive_variational_var(vp["raw_s"]), -trace
 
 
-def _latent_init(params, observed: dict[int, jnp.ndarray], config: Config):
+def _latent_init(params, observed: dict[int, jnp.ndarray], config: Config,
+                 init_table=None):
     """q(x*) means init. Amortized: one encoder pass with unobserved
     views filled at the encoder center (zero contribution after
     centering). Resident: nearest training latent by predicted-mean
@@ -449,22 +451,37 @@ def _latent_init(params, observed: dict[int, jnp.ndarray], config: Config):
             mask = mask.at[:, offs[v]:offs[v + 1]].set(1.0)
         return amortized.encoder_fill_init(c0, y_cat, mask)
     v0, y0 = items[0]
+    if init_table is None:
+        init_table = candidate_table(params, v0, config)
+    cand, cand_mean = init_table
+    d2 = jnp.sum((y0[:, None, :] - cand_mean[None, :, :]) ** 2, axis=-1)
+    return cand[jnp.argmin(d2, axis=1)]
+
+
+def candidate_table(params, view: int, config: Config):
+    """Resident-mode nearest-neighbour init table for `view`:
+    (cand (C, Q) latents, cand_mean (C, D_view) their predicted means).
+    Params-only — compile-once serving factories
+    (serving.make_mrd_svi_predictor) hoist this to factory time so the
+    per-request program never re-lowers the C-candidate predict_view
+    pipeline (the pattern of the other factories in models/serving.py)."""
+    c0 = svi.constrain(_view_params(params, view))
     n = c0["qx_mean"].shape[0]
     take = jnp.arange(0, n, max(1, n // 4096))
     cand, cand_var = c0["qx_mean"][take], c0["qx_var"][take]
-    mean, _ = predict_view(params, cand, cand_var, v0, config)
-    d2 = jnp.sum((y0[:, None, :] - mean[None, :, :]) ** 2, axis=-1)
-    return cand[jnp.argmin(d2, axis=1)]
+    mean, _ = predict_view(params, cand, cand_var, view, config)
+    return cand, mean
 
 
 def cross_view_predict(params, observed: dict[int, jnp.ndarray],
                        target_view: int, config: Config,
                        num_steps: int = 200, lr: float = 0.05,
-                       tol: float | None = None):
+                       tol: float | None = None, init_table=None):
     """MRD cross-view serving from q(u) alone: observe some views of new
     rows, infer the shared q(x*), predict the target view. Returns
-    (mean, var, m*, s*, objective trace)."""
-    m0 = _latent_init(params, observed, config)
+    (mean, var, m*, s*, objective trace). init_table: precomputed
+    candidate_table() for the first observed view (serving factories)."""
+    m0 = _latent_init(params, observed, config, init_table)
     m_s, s_s, trace = infer_latent(
         params, observed, m0, config, num_steps, lr, tol
     )

@@ -154,6 +154,25 @@ def _feature_basis(r_w, r_b, kernel, variance, ard, num_features,
     return freqs, phases, scale
 
 
+def _matheron_finish(partial: PathwiseSampler, u, L) -> PathwiseSampler:
+    """Complete a sampler from q(u) draws: evaluate the prior draws at
+    Z, form the Matheron residual, and solve v = K_uu^{-1}(u_s - f0(Z))
+    as one batched (M, S*D) triangular-solve pair. Shared by the
+    collapsed-cache and explicit-whitened-q(u) samplers — the solve and
+    reshape live in exactly one place."""
+    phi_z = _prior_features(partial.z, partial)          # (M, L)
+    f0_z = jnp.einsum(
+        "ml,sld->smd", phi_z, partial.wts, precision=_HIGHEST
+    )
+    rhs = u - f0_z                                       # (S, M, D)
+    m = L.shape[0]
+    num_samples, _, d = u.shape
+    rhs_flat = jnp.moveaxis(rhs, 1, 0).reshape(m, -1)    # (M, S*D)
+    v_flat = tri_solve(L, tri_solve(L, rhs_flat), trans=True)
+    v = jnp.moveaxis(v_flat.reshape(m, num_samples, d), 0, 1)
+    return dataclasses.replace(partial, v=v)
+
+
 def make_pathwise_sampler(
     rng,
     cache: PosteriorCache,
@@ -187,18 +206,8 @@ def make_pathwise_sampler(
         v=jnp.zeros((num_samples, cache.L.shape[0], d), dtype),
         variance=cache.variance, ard=cache.ard, z=cache.z, kernel=kernel,
     )
-    phi_z = _prior_features(cache.z, partial)            # (M, L)
-    f0_z = jnp.einsum("ml,sld->smd", phi_z, wts, precision=_HIGHEST)
     u = qu_draws(r_u, cache, num_samples, d)             # (S, M, D)
-    rhs = u - f0_z                                       # (S, M, D)
-    # v = K_uu^{-1} rhs, batched: one (M, S*D) triangular-solve pair
-    m = cache.L.shape[0]
-    rhs_flat = jnp.moveaxis(rhs, 1, 0).reshape(m, -1)    # (M, S*D)
-    v_flat = tri_solve(
-        cache.L, tri_solve(cache.L, rhs_flat), trans=True
-    )
-    v = jnp.moveaxis(v_flat.reshape(m, num_samples, d), 0, 1)
-    return dataclasses.replace(partial, v=v)
+    return _matheron_finish(partial, u, cache.L)
 
 
 def make_svi_pathwise_sampler(
@@ -247,19 +256,13 @@ def make_svi_pathwise_sampler(
         v=jnp.zeros((num_samples, m, d), dtype),
         variance=c["variance"], ard=c["ard"], z=c["z"], kernel=kernel,
     )
-    phi_z = _prior_features(c["z"], partial)             # (M, L)
-    f0_z = jnp.einsum("ml,sld->smd", phi_z, wts, precision=_HIGHEST)
     # exact whitened draws: u_s = L (m_v + Ls eps_s)
     eps = jax.random.normal(r_u, (num_samples, m, d), dtype)
     v_s = c["u_mean"][None] + jnp.einsum(
         "mk,skd->smd", c["u_scale"], eps, precision=_HIGHEST
     )
     u = jnp.einsum("mk,skd->smd", L, v_s, precision=_HIGHEST)
-    rhs = u - f0_z                                       # (S, M, D)
-    rhs_flat = jnp.moveaxis(rhs, 1, 0).reshape(m, -1)    # (M, S*D)
-    v_flat = tri_solve(L, tri_solve(L, rhs_flat), trans=True)
-    v = jnp.moveaxis(v_flat.reshape(m, num_samples, d), 0, 1)
-    return dataclasses.replace(partial, v=v)
+    return _matheron_finish(partial, u, L)
 
 
 def sample_at(sampler: PathwiseSampler, x_star) -> jnp.ndarray:

@@ -154,12 +154,19 @@ def make_mrd_svi_predictor(
     including streamed datasets that never lived on the device."""
     from dp_gp_lvm_tpu.models import mrd_svi
 
+    # resident mode: hoist the params-only nearest-latent candidate
+    # table (C-candidate predict_view pipeline) to factory time so each
+    # new batch shape compiles only the inference scan + predictive
+    init_table = (None if config.amortized
+                  else mrd_svi.candidate_table(params, observed_view,
+                                               config))
+
     @jax.jit
     def predict(y_obs):
         t, steps = _resolve(tol, num_steps, y_obs.shape[0])
         mean, var, *_ = mrd_svi.cross_view_predict(
             params, {observed_view: y_obs}, target_view, config,
-            num_steps=steps, lr=lr, tol=t,
+            num_steps=steps, lr=lr, tol=t, init_table=init_table,
         )
         return mean, var
 

@@ -134,9 +134,12 @@ def _qx_batch(c, y, idx):
     return amortized.qx_batch(c, y, idx)
 
 
-def _whitened_terms(c, stats, policy):
-    """(a, A2, L) from SuffStats in whitened coordinates."""
-    kuu = dispatch.gram(c["variance"], c["ard"], c["z"])
+def _whitened_terms(c, stats, policy, kernel: str = "ard_rbf"):
+    """(a, A2, L) from SuffStats in whitened coordinates. kernel must
+    match the SuffStats' kernel (config.kernel) — K_uu and the psi
+    statistics must describe the same prior or the whitening is
+    inconsistent."""
+    kuu = dispatch.gram(c["variance"], c["ard"], c["z"], kernel=kernel)
     L, _ = safe_cholesky(kuu, policy)
     a = tri_solve(L, stats.psi1T_y)                    # (M, D)
     half = tri_solve(L, stats.psi2)
@@ -145,19 +148,19 @@ def _whitened_terms(c, stats, policy):
     return a, A2, L
 
 
-def _bound_from_stats(c, stats, kl_x, policy):
+def _bound_from_stats(c, stats, kl_x, policy, kernel: str = "ard_rbf"):
     """Whitened Hensman bound given (possibly scaled) SuffStats and the
     matching (possibly scaled) KL(q(X)) contribution."""
-    bound, _, _ = _bound_and_whitened(c, stats, kl_x, policy)
+    bound, _, _ = _bound_and_whitened(c, stats, kl_x, policy, kernel)
     return bound
 
 
-def _bound_and_whitened(c, stats, kl_x, policy):
+def _bound_and_whitened(c, stats, kl_x, policy, kernel: str = "ard_rbf"):
     """(bound, a, A2): the bound plus the whitened statistics it was
     built from — lets a natural-gradient step reuse the gradient pass's
     psi statistics instead of recomputing them (blend_at="grad")."""
     beta = 1.0 / c["noise"]
-    a, A2, L = _whitened_terms(c, stats, policy)
+    a, A2, L = _whitened_terms(c, stats, policy, kernel)
     mu, ls = c["u_mean"], c["u_scale"]                 # (M, D), (M, M)
     d = mu.shape[1]
     s_diag_chol = jnp.diagonal(ls)
@@ -217,7 +220,7 @@ def elbo_minibatch(
         n=stats.n * scale,
     )
     kl_x = scale * gaussian.kl_to_standard_normal(mu_b, s_b)
-    return _bound_from_stats(c, stats, kl_x, policy)
+    return _bound_from_stats(c, stats, kl_x, policy, config.kernel)
 
 
 def elbo(params, Y, config: Config, policy: JitterPolicy | None = None):
@@ -233,7 +236,7 @@ def elbo(params, Y, config: Config, policy: JitterPolicy | None = None):
         kernel=config.kernel,
     )
     kl_x = gaussian.kl_to_standard_normal(mu, s)
-    return _bound_from_stats(c, stats, kl_x, policy)
+    return _bound_from_stats(c, stats, kl_x, policy, config.kernel)
 
 
 def loss(params, Y, config: Config):
@@ -256,7 +259,7 @@ def optimal_qu(params, Y, config: Config, policy: JitterPolicy | None = None):
         kernel=config.kernel,
     )
     beta = 1.0 / c["noise"]
-    a, A2, _ = _whitened_terms(c, stats, policy)
+    a, A2, _ = _whitened_terms(c, stats, policy, config.kernel)
     return optimal_qu_from_whitened(a, A2, beta)
 
 
@@ -332,7 +335,8 @@ def predict_from_latent(params, x_mean, x_var, config: Config,
     directly from the explicit q(u) (no training data needed)."""
     policy = policy or JitterPolicy()
     c = constrain(params)
-    kuu = dispatch.gram(c["variance"], c["ard"], c["z"])
+    kuu = dispatch.gram(c["variance"], c["ard"], c["z"],
+                        kernel=config.kernel)
     L, _ = safe_cholesky(kuu, policy)
     # Psi-moment predictive variance (exact under q(x*)):
     #   Var_nd = sigma^2 + E[k_nn] - tr(A2_n) + tr(S A2_n)
@@ -382,7 +386,8 @@ def infer_latent(
 
     policy = policy or JitterPolicy()
     c = constrain(params)
-    kuu = dispatch.gram(c["variance"], c["ard"], c["z"])
+    kuu = dispatch.gram(c["variance"], c["ard"], c["z"],
+                        kernel=config.kernel)
     L, _ = safe_cholesky(kuu, policy)
     mu_u = c["u_mean"]
     beta = 1.0 / c["noise"]
@@ -608,7 +613,8 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
                 return -bound, (a, A2, beta)
             c = constrain(p)
             stats, kl_x = _scaled_batch_stats(c, y_b, idx, n_total, config)
-            bound, a, A2 = _bound_and_whitened(c, stats, kl_x, policy)
+            bound, a, A2 = _bound_and_whitened(c, stats, kl_x, policy,
+                                               config.kernel)
             return -bound, (a, A2, 1.0 / c["noise"])
 
         (loss_v, aux), grads = jax.value_and_grad(

@@ -337,7 +337,8 @@ def svi_elbo_sharded(
         kl_x = scale * jax.lax.psum(
             gaussian.kl_to_standard_normal(mu_b, s_b), DATA_AXIS
         )
-        bound, a, A2 = svi._bound_and_whitened(c, stats, kl_x, policy)
+        bound, a, A2 = svi._bound_and_whitened(c, stats, kl_x, policy,
+                                               config.kernel)
         return (bound, (a, A2)) if with_aux else bound
 
     sharded = jax.shard_map(
@@ -398,7 +399,8 @@ def mrd_svi_elbo_sharded(
                 psi2=stats.psi2 * scale, yty=stats.yty * scale,
                 n=stats.n * scale,
             )
-            bound_v, a, A2 = svi._bound_and_whitened(c, stats, 0.0, policy)
+            bound_v, a, A2 = svi._bound_and_whitened(c, stats, 0.0,
+                                                     policy, config.kernel)
             bounds.append(bound_v)
             whitened.append((a, A2, 1.0 / c["noise"]))
         kl_x = scale * jax.lax.psum(

@@ -46,6 +46,47 @@ def test_optimal_qu_recovers_collapsed_bound():
     np.testing.assert_allclose(svi, collapsed, rtol=1e-6)
 
 
+def test_optimal_qu_recovers_collapsed_bound_linear_kernel():
+    """Same identity with kernel='linear' — regression for the whitened
+    core whitening against the WRONG K_uu (the gram calls used to omit
+    kernel=, so a linear config's bound/serving paths whitened u against
+    the ard_rbf K_uu while the psi statistics were linear)."""
+    Y, _, _ = _setup()
+    cfg = svi_gplvm.Config(num_latent=2, num_inducing=8, batch=16,
+                           kernel="linear")
+    params = svi_gplvm.init_params(jax.random.PRNGKey(1), Y, cfg)
+    params = svi_gplvm.set_optimal_qu(params, Y, cfg)
+    svi = float(svi_gplvm.elbo(params, Y, cfg))
+    bcfg = bgplvm.Config(num_latent=2, num_inducing=8, kernel="linear")
+    bparams = {k: params[k] for k in (
+        "qx_mean", "raw_qx_var", "z", "raw_variance", "raw_ard",
+        "raw_noise",
+    )}
+    collapsed = float(bgplvm.elbo(bparams, Y, bcfg))
+    # looser than the rbf identity: linear K_uu is rank-Q (2 of M=8),
+    # so safe_cholesky's escalated jitter perturbs the two bound forms
+    # asymmetrically at O(jitter/eig_min) — measured 5e-6 rel here,
+    # vs the wrong-kernel whitening this guards against at O(1)
+    np.testing.assert_allclose(svi, collapsed, rtol=5e-5)
+    # and the pathwise sampler agrees with the (now-consistent)
+    # predictive at deterministic x* — exact features, so tight
+    from dp_gp_lvm_tpu.models import sampling
+
+    x_star = svi_gplvm.constrain(params)["qx_mean"][:6]
+    smp = sampling.make_svi_pathwise_sampler(
+        jax.random.PRNGKey(2), params, cfg, num_samples=20000,
+    )
+    f = np.asarray(sampling.sample_at(smp, x_star))
+    mean_true, var_full = svi_gplvm.predict_from_latent(
+        params, x_star, jnp.zeros_like(x_star), cfg
+    )
+    noise = float(svi_gplvm.constrain(params)["noise"])
+    var_true = np.maximum(np.asarray(var_full) - noise, 0.0)
+    se = np.sqrt(var_true / 20000)
+    assert np.all(np.abs(f.mean(0) - np.asarray(mean_true))
+                  < 6 * se + 1e-4)
+
+
 def test_suboptimal_qu_is_below_collapsed_bound():
     Y, cfg, params = _setup()
     collapsed = _collapsed_elbo(params, Y, cfg)
