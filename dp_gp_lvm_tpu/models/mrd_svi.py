@@ -458,6 +458,37 @@ def _latent_init(params, observed: dict[int, jnp.ndarray], config: Config,
     return cand[jnp.argmin(d2, axis=1)]
 
 
+def cross_view_sample(rng, params, observed: dict[int, jnp.ndarray],
+                      target_view: int, config: Config,
+                      num_samples: int, num_steps: int = 200,
+                      lr: float = 0.05, tol: float | None = None,
+                      num_features: int = 2048, init_table=None):
+    """GENERATIVE cross-view serving: joint function draws of the target
+    view at new rows, with latent uncertainty propagated — infer the
+    shared q(x*) from the observed views, draw x_s ~ q(x*) per sample,
+    and evaluate S pathwise posterior draws of the target view's
+    explicit q(u^v) at their own latent draws. Returns (S, N*, D_target)
+    noise-free values, jointly consistent across rows within a sample —
+    the capability the moment predictive (cross_view_predict) cannot
+    provide (e.g. plausible novel trajectories of the unobserved view).
+    Marginal moments converge to cross_view_predict's (mean, var−noise)."""
+    from dp_gp_lvm_tpu.models import sampling
+
+    m0 = _latent_init(params, observed, config, init_table)
+    m_s, s_s, _ = infer_latent(
+        params, observed, m0, config, num_steps, lr, tol
+    )
+    r_f, r_x = jax.random.split(rng)
+    smp = sampling.make_svi_pathwise_sampler(
+        r_f, _view_params(params, target_view), _svi_config(config),
+        num_samples, num_features=num_features,
+    )
+    x_draws = m_s[None] + jnp.sqrt(s_s)[None] * jax.random.normal(
+        r_x, (num_samples,) + m_s.shape, m_s.dtype
+    )
+    return sampling.sample_at_latent_draws(smp, x_draws)
+
+
 def candidate_table(params, view: int, config: Config):
     """Resident-mode nearest-neighbour init table for `view`:
     (cand (C, Q) latents, cand_mean (C, D_view) their predicted means).

@@ -282,6 +282,34 @@ def sample_at(sampler: PathwiseSampler, x_star) -> jnp.ndarray:
     )
 
 
+def sample_at_latent_draws(sampler: PathwiseSampler, x_draws) -> jnp.ndarray:
+    """Evaluate sample s of the posterior at ITS OWN latent draw
+    x_draws[s] (S, N*, Q) -> (S, N*, D): the composition that propagates
+    LATENT uncertainty through the function draws — x_s ~ q(x*),
+    f_s ~ p(f | data), y_s = f_s(x_s). Marginally, mean over s converges
+    to the psi-moment predictive mean and var to (predictive var −
+    noise), since the predictive integrates the same q(x*) (the oracle
+    in tests/test_sampling.py). Same two-matmul shape discipline as
+    sample_at, batched over S."""
+    proj = jnp.einsum(
+        "snq,lq->snl", x_draws, sampler.freqs, precision=_HIGHEST
+    )
+    if sampler.kernel == "linear":
+        phi_x = proj
+    else:
+        phi_x = sampler.scale * jnp.cos(proj + sampler.phases[None, None])
+    prior = jnp.einsum(
+        "snl,sld->snd", phi_x, sampler.wts, precision=_HIGHEST
+    )
+    mod = linear if sampler.kernel == "linear" else ard_rbf
+    k_xz = jax.vmap(
+        lambda x: mod.gram(sampler.variance, sampler.ard, x, sampler.z)
+    )(x_draws)                                           # (S, N*, M)
+    return prior + jnp.einsum(
+        "snm,smd->snd", k_xz, sampler.v, precision=_HIGHEST
+    )
+
+
 def make_dp_pathwise_sampler(rng, caches: PosteriorCache, phi,
                              num_samples: int, num_latent: int,
                              num_features: int = 2048,

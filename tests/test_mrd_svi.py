@@ -304,3 +304,46 @@ def test_amortized_mrd_svi_init_equality_and_training():
     )
     assert mean.shape == (8, Ys[1].shape[1])
     assert bool(jnp.all(jnp.isfinite(mean))) and bool(jnp.all(var > 0))
+
+
+def test_cross_view_sample_moments_match_predictive():
+    """Generative cross-view draws (latent uncertainty propagated):
+    sample mean/var converge to cross_view_predict's (mean, var − noise)
+    — the marginal-moment oracle. Plus the degenerate-equality check:
+    identical latent draws across samples reduce sample_at_latent_draws
+    to sample_at exactly."""
+    from dp_gp_lvm_tpu.models import sampling, svi_gplvm
+
+    Ys, cfg, params = _setup()
+    params = mrd_svi.set_optimal_qu(params, Ys, cfg)
+    y_obs = Ys[0][:6]
+    rng = jax.random.PRNGKey(9)
+    s = 4000
+    f = np.asarray(mrd_svi.cross_view_sample(
+        rng, params, {0: y_obs}, 1, cfg, num_samples=s, num_steps=80,
+        num_features=4096,
+    ))
+    assert f.shape == (s, 6, Ys[1].shape[1])
+    mean, var, m_s, s_s, _ = mrd_svi.cross_view_predict(
+        params, {0: y_obs}, 1, cfg, num_steps=80
+    )
+    noise = float(svi_gplvm.constrain(
+        mrd_svi._view_params(params, 1))["noise"])
+    mean, fvar = np.asarray(mean), np.maximum(np.asarray(var) - noise, 0.0)
+    scale = float(np.sqrt(np.asarray(
+        svi_gplvm.constrain(mrd_svi._view_params(params, 1))["variance"])))
+    assert np.max(np.abs(f.mean(0) - mean)) < 0.15 * scale
+    assert np.max(np.abs(np.sqrt(f.var(0)) - np.sqrt(fvar))) < 0.15 * scale
+
+    # degenerate equality: same x for every sample == sample_at
+    smp = sampling.make_svi_pathwise_sampler(
+        jax.random.PRNGKey(1), mrd_svi._view_params(params, 1),
+        mrd_svi._svi_config(cfg), num_samples=16, num_features=512,
+    )
+    x0 = jnp.asarray(m_s[:4])
+    a = sampling.sample_at(smp, x0)
+    b = sampling.sample_at_latent_draws(
+        smp, jnp.broadcast_to(x0[None], (16,) + x0.shape)
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-8)
