@@ -761,7 +761,9 @@ def main():
         else:                      # amortized: encode (capped) train rows
             from dp_gp_lvm_tpu.models import amortized
 
-            qx, _ = amortized.encode(state.params, jnp.asarray(Y[:4096]))
+            y_enc = (jnp.concatenate([y[:4096] for y in data], axis=1)
+                     if len(data) > 1 else jnp.asarray(data[0][:4096]))
+            qx, _ = amortized.encode(state.params, y_enc)
         viz.plot_latent_scatter(
             qx, path=os.path.join(out_dir, "latent.png")
         )
@@ -773,6 +775,13 @@ def main():
         elif cfg.model == "mrd":
             viz.plot_ard_weights(
                 mrd.ard_relevance(state.params),
+                path=os.path.join(out_dir, "ard.png"),
+            )
+        elif cfg.model == "mrd_svi":
+            from dp_gp_lvm_tpu.models import mrd_svi
+
+            viz.plot_ard_weights(
+                mrd_svi.ard_relevance(state.params),
                 path=os.path.join(out_dir, "ard.png"),
             )
         elif cfg.model == "dp_gp_lvm":
