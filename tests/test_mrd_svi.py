@@ -347,3 +347,43 @@ def test_cross_view_sample_moments_match_predictive():
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                atol=1e-8)
+
+
+def test_amortized_streaming_on_mesh_equals_resident_mesh():
+    """The full beyond-HBM composition for the multi-view family:
+    amortized q(X) x host-streamed concatenated batches x data mesh.
+    The streamed step equals the resident mesh step at equal indices —
+    no device-side q(X) state, no per-view gather, rows psummed over
+    the data axis (one psum per view)."""
+    from dp_gp_lvm_tpu.parallel import mesh as mesh_lib, recipe
+
+    Ys, _, _ = _setup()
+    cfg = mrd_svi.Config(
+        num_latent=3, num_inducing=8, num_views=2, batch=16,
+        amortized=True, encoder_hidden=8,
+        view_dims=tuple(Y.shape[1] for Y in Ys),
+    )
+    params = mrd_svi.init_params(jax.random.PRNGKey(1), Ys, cfg)
+    n = Ys[0].shape[0]
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    opt = gp_optimizer(params, lr=1e-2)
+    idx = jnp.asarray(np.array([7, 7, 2, 31, 20, 1, 14, 9,
+                                3, 40, 11, 5, 28, 33, 0, 19], np.int32))
+
+    res_step = mrd_svi.make_svi_natgrad_step(
+        cfg, n, opt, rho=0.3, mesh=mesh, sample_idx=lambda r: idx,
+    )
+    str_step = mrd_svi.make_svi_natgrad_step(
+        cfg, n, opt, rho=0.3, mesh=mesh, streaming=True,
+    )
+    p_m, data_m = recipe.place_svi("mrd_svi", params, tuple(Ys), mesh)
+    r = jax.random.PRNGKey(2)
+    st_res, m_res = res_step(init_state(p_m, opt), r, data_m)
+    y_cat = jnp.concatenate([Y[idx] for Y in Ys], axis=1)
+    st_str, m_str = str_step(init_state(p_m, opt), r, (idx, y_cat))
+    np.testing.assert_allclose(float(m_res["loss"]),
+                               float(m_str["loss"]), rtol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(st_res.params),
+                    jax.tree_util.tree_leaves(st_str.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
