@@ -56,6 +56,7 @@ run_job c9 5400 python experiments/run.py c9_mrd_svi_bigN --out results/c9
 
 echo "== summary =="
 for k in "${!STATUS[@]}"; do echo "$k: ${STATUS[$k]}"; done
-echo "next: calibrate CHECKS[c8_amortized_svi] / CHECKS[c9_mrd_svi_bigN]"
-echo "      from results/c8/result.json and results/c9/result.json,"
-echo "      then re-run both with --check"
+echo "next: python experiments/calibrate_checks.py results/c8/result.json \\"
+echo "          results/c9/result.json   # suggested tightened CHECKS"
+echo "      paste (after a sanity look) into core/config.py CHECKS,"
+echo "      then re-run both configs with --check"
