@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--restarts", type=int, default=None,
                     help="override the config's restart count "
                          "(non-convex models keep the best final ELBO)")
+    ap.add_argument("--stop-after", type=int, default=None,
+                    help="stop the SVI minibatch loop after this many "
+                         "steps (schedules still built for --steps; "
+                         "pairs with --ckpt-every/--resume for "
+                         "interruption-and-resume)")
     ap.add_argument("--resume", action="store_true",
                     help="staged dp_svi: restart at the first incomplete "
                          "stage using the boundary checkpoints in "
@@ -328,11 +333,21 @@ def main():
         if chunk >= steps:
             chunk = max(1, steps // 2)
 
-        def drive(nat_step, state, n_steps, rng_run, Y_cur, label=""):
-            """Run n_steps through chunked lax.scan dispatches; returns
-            (state, post-compile s/step, wall seconds). Y_cur is passed
-            explicitly because the staged recipe re-places the dataset
-            on the mesh between stages (train/dp_recipe.py)."""
+        def drive(nat_step, state, n_steps, rng_run, Y_cur, label="",
+                  ck=None, ckpt_every=0):
+            """Run up to n_steps through chunked lax.scan dispatches;
+            returns (state, post-compile s/step, wall seconds). Y_cur is
+            passed explicitly because the staged recipe re-places the
+            dataset on the mesh between stages (train/dp_recipe.py).
+
+            Resume-aware: the loop starts at state.step (0 for a fresh
+            state; the restored step after ck.restore), and each chunk's
+            rng derives from the chunk's STEP INDEX (fold_in), not a
+            sequential split — so a run interrupted at any checkpoint
+            boundary and resumed continues bit-identical to an
+            uninterrupted one (tests/test_resume_cli.py). ck/ckpt_every:
+            save every ckpt_every steps (must be a chunk multiple to
+            actually fire)."""
             def one(st, step_rng):
                 st, metrics = nat_step(st, step_rng, Y_cur)
                 return st, metrics["loss"]
@@ -344,10 +359,11 @@ def main():
                 )
 
             t0 = time.time()
-            done = 0
+            done = int(state.step)
+            start = done
             t_post = None
             while done < n_steps:
-                rng_run, sub = jax.random.split(rng_run)
+                sub = jax.random.fold_in(rng_run, done)
                 state, losses = svi_multi(state, sub)
                 jax.block_until_ready(losses)
                 if t_post is None:
@@ -357,7 +373,10 @@ def main():
                 logger.log(done - 1, elbo_estimate=elbo_now)
                 print(f"  {label}step {done - 1}: "
                       f"elbo_estimate={elbo_now:.4g}", flush=True)
-            timed_steps = done - chunk     # steps after the compile chunk
+                if ck is not None and ckpt_every and \
+                        done % ckpt_every == 0:
+                    ck.save(state)
+            timed_steps = done - start - chunk   # post-compile steps
             per_step = ((time.time() - t_post) / timed_steps
                         if timed_steps > 0 else float("nan"))
             return state, per_step, time.time() - t0
@@ -473,10 +492,23 @@ def main():
                 result_extra["streamed"] = True
                 result_extra["native_loader"] = _stream.native_available()
             else:
+                state0 = init_state(params, optimizer)
+                ck_svi = None
+                if args.ckpt_every or args.resume:
+                    ck_svi = ckpt_lib.Checkpointer(
+                        os.path.join(out_dir, "ckpt")
+                    )
+                if args.resume and ck_svi.latest_step() is not None:
+                    state0 = ck_svi.restore(state0)
+                    print(f"[{cfg.name}] resumed at step "
+                          f"{int(state0.step)}", flush=True)
+                loop_steps = min(steps, args.stop_after or steps)
                 state, per_step, total = drive(
-                    nat_step, init_state(params, optimizer), steps, r1,
-                    Y_res,
+                    nat_step, state0, loop_steps, r1, Y_res,
+                    ck=ck_svi, ckpt_every=args.ckpt_every,
                 )
+                if ck_svi is not None:
+                    ck_svi.close()
         rows_per_sec = (round(mcfg.batch / max(per_step, 1e-9))
                         if per_step == per_step else None)
         print(f"[{cfg.name}] done in {total:.1f}s; "
@@ -490,7 +522,7 @@ def main():
         if loss_fn is not None else None
 
     ck = ckpt_lib.Checkpointer(os.path.join(out_dir, "ckpt")) \
-        if args.ckpt_every else None
+        if (args.ckpt_every and loss_fn is not None) else None
     # scan-based chunks: one host<->device round trip per log interval
     # (interactive dispatch to the tunneled TPU costs ~1s per call; the
     # reference-style step-per-session.run loop would be latency-bound)
