@@ -218,11 +218,20 @@ class ChunkStream:
     step with hand-fed indices instead.
     """
 
-    def __init__(self, loader, batch: int, chunk: int, seed: int = 0):
+    def __init__(self, loader, batch: int, chunk: int, seed: int = 0,
+                 skip_chunks: int = 0):
         self.loader = loader
         self.batch = int(batch)
         self.chunk = int(chunk)
         self._rng = np.random.Generator(np.random.Philox(seed))
+        # resume support: fast-forward the Philox stream past chunks a
+        # previous (checkpointed) run already consumed — index draws
+        # only, no row gathers, so this is O(skip * chunk * batch) int32
+        for _ in range(int(skip_chunks)):
+            self._rng.integers(
+                0, loader.n, size=(self.chunk, self.batch),
+                dtype=np.int32,
+            )
         shape = (self.chunk, self.batch, loader.d)
         self._buf = [np.empty(shape, np.float32), np.empty(shape, np.float32)]
         self._idx = [None, None]

@@ -291,13 +291,7 @@ def sample_at_latent_draws(sampler: PathwiseSampler, x_draws) -> jnp.ndarray:
     noise), since the predictive integrates the same q(x*) (the oracle
     in tests/test_sampling.py). Same two-matmul shape discipline as
     sample_at, batched over S."""
-    proj = jnp.einsum(
-        "snq,lq->snl", x_draws, sampler.freqs, precision=_HIGHEST
-    )
-    if sampler.kernel == "linear":
-        phi_x = proj
-    else:
-        phi_x = sampler.scale * jnp.cos(proj + sampler.phases[None, None])
+    phi_x = jax.vmap(lambda x: _prior_features(x, sampler))(x_draws)
     prior = jnp.einsum(
         "snl,sld->snd", phi_x, sampler.wts, precision=_HIGHEST
     )

@@ -59,9 +59,11 @@ def main():
                          "pairs with --ckpt-every/--resume for "
                          "interruption-and-resume)")
     ap.add_argument("--resume", action="store_true",
-                    help="staged dp_svi: restart at the first incomplete "
-                         "stage using the boundary checkpoints in "
-                         "<out>/stages (train/dp_recipe.py)")
+                    help="resume from the latest checkpoint: the generic "
+                         "SVI loop restores <out>/ckpt (pairs with "
+                         "--ckpt-every; bit-identical continuation), the "
+                         "staged dp_svi recipe restarts at the first "
+                         "incomplete stage from <out>/stages")
     ap.add_argument("--stream", action="store_true",
                     help="SVI configs: feed minibatches through the "
                          "host streaming input pipeline (data/stream.py "
@@ -332,6 +334,10 @@ def main():
         chunk = max(1, min(max(args.log_every, chunk_floor), steps))
         if chunk >= steps:
             chunk = max(1, steps // 2)
+        if args.stop_after:
+            # per-step keys are chunk-invariant, so shrinking the chunk
+            # to hit --stop-after exactly cannot change the trajectory
+            chunk = max(1, min(chunk, args.stop_after))
 
         def drive(nat_step, state, n_steps, rng_run, Y_cur, label="",
                   ck=None, ckpt_every=0):
@@ -341,30 +347,32 @@ def main():
             dataset on the mesh between stages (train/dp_recipe.py).
 
             Resume-aware: the loop starts at state.step (0 for a fresh
-            state; the restored step after ck.restore), and each chunk's
-            rng derives from the chunk's STEP INDEX (fold_in), not a
-            sequential split — so a run interrupted at any checkpoint
-            boundary and resumed continues bit-identical to an
-            uninterrupted one (tests/test_resume_cli.py). ck/ckpt_every:
-            save every ckpt_every steps (must be a chunk multiple to
-            actually fire)."""
+            state; the restored step after ck.restore), and EVERY STEP's
+            rng derives from its global step index (fold_in) — the key
+            stream is invariant to the chunk size and to how many times
+            the process restarted, so a run interrupted at any
+            checkpoint boundary and resumed continues bit-identical to
+            an uninterrupted one even across a --log-every change
+            (tests/test_resume_cli.py). ck/ckpt_every: save every
+            ckpt_every steps (must be a chunk multiple to actually
+            fire — run.py warns when it is not)."""
             def one(st, step_rng):
                 st, metrics = nat_step(st, step_rng, Y_cur)
                 return st, metrics["loss"]
 
             @jax.jit
-            def svi_multi(st, chunk_rng):
-                return jax.lax.scan(
-                    one, st, jax.random.split(chunk_rng, chunk)
-                )
+            def svi_multi(st, start_step):
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(rng_run, i)
+                )(start_step + jnp.arange(chunk))
+                return jax.lax.scan(one, st, keys)
 
             t0 = time.time()
             done = int(state.step)
             start = done
             t_post = None
             while done < n_steps:
-                sub = jax.random.fold_in(rng_run, done)
-                state, losses = svi_multi(state, sub)
+                state, losses = svi_multi(state, jnp.int32(done))
                 jax.block_until_ready(losses)
                 if t_post is None:
                     t_post = time.time()   # exclude the compile chunk
@@ -463,19 +471,42 @@ def main():
                 else:
                     put = lambda i, y: (jnp.asarray(i), jnp.asarray(y))
                 state = init_state(params, optimizer)
+                ck_svi = None
+                if args.ckpt_every or args.resume:
+                    ck_svi = ckpt_lib.Checkpointer(
+                        os.path.join(out_dir, "ckpt")
+                    )
+                if args.resume and ck_svi.latest_step() is not None:
+                    state = ck_svi.restore(state)
+                    print(f"[{cfg.name}] resumed at step "
+                          f"{int(state.step)}", flush=True)
                 t0 = time.time()
                 t_post = None
-                done = 0
+                done = int(state.step)
+                start = done
+                loop_steps = min(steps, args.stop_after or steps)
+                if done % chunk != 0:
+                    raise SystemExit(
+                        f"--resume at step {done}: the streaming Philox "
+                        f"fast-forward needs a chunk-multiple "
+                        f"checkpoint (chunk={chunk})"
+                    )
                 with _stream.ChunkStream(
                     _stream.open_loader(y_path, n_total, Y_flat.shape[1]),
                     batch=mcfg.batch, chunk=chunk, seed=cfg.seed + 7,
+                    skip_chunks=done // chunk,
                 ) as cs:
-                    while done < steps:
+                    while done < loop_steps:
                         idx_c, y_c = cs.next_chunk()
-                        rng_run, sub = jax.random.split(rng_run)
+                        # per-step keys by global step index, like the
+                        # resident drive (the streaming steps ignore
+                        # them — the host stream owns sampling — but
+                        # the derivation stays restart-invariant)
+                        keys = jax.vmap(
+                            lambda i: jax.random.fold_in(rng_run, i)
+                        )(done + jnp.arange(chunk))
                         state, losses = scan_chunk(
-                            state, jax.random.split(sub, chunk),
-                            *put(idx_c, y_c),
+                            state, keys, *put(idx_c, y_c),
                         )
                         jax.block_until_ready(losses)
                         if t_post is None:
@@ -485,7 +516,12 @@ def main():
                         logger.log(done - 1, elbo_estimate=elbo_now)
                         print(f"  [stream] step {done - 1}: "
                               f"elbo_estimate={elbo_now:.4g}", flush=True)
-                timed = done - chunk
+                        if ck_svi is not None and args.ckpt_every and \
+                                done % args.ckpt_every == 0:
+                            ck_svi.save(state)
+                if ck_svi is not None:
+                    ck_svi.close()
+                timed = done - start - chunk
                 per_step = ((time.time() - t_post) / timed
                             if timed > 0 else float("nan"))
                 total = time.time() - t0
@@ -503,6 +539,16 @@ def main():
                     print(f"[{cfg.name}] resumed at step "
                           f"{int(state0.step)}", flush=True)
                 loop_steps = min(steps, args.stop_after or steps)
+                if loop_steps % chunk != 0:
+                    print(f"[{cfg.name}] note: loop runs in scan-chunks "
+                          f"of {chunk}; stopping at the next multiple "
+                          f"of {chunk} past {loop_steps}", flush=True)
+                if args.ckpt_every and args.ckpt_every % chunk != 0:
+                    print(f"[{cfg.name}] note: --ckpt-every "
+                          f"{args.ckpt_every} is not a multiple of the "
+                          f"scan-chunk {chunk}; checkpoints fire only "
+                          f"at chunk boundaries divisible by it",
+                          flush=True)
                 state, per_step, total = drive(
                     nat_step, state0, loop_steps, r1, Y_res,
                     ck=ck_svi, ckpt_every=args.ckpt_every,
@@ -591,8 +637,11 @@ def main():
              if jnp.ndim(v) == 0}
     result = {"config": cfg.name, "data": tag, "steps": steps,
               "seconds": round(total, 2),
-              "ms_per_step": round(per_step * 1e3, 3), **terms,
-              **result_extra}
+              # None (valid JSON), not NaN, when no post-compile chunk
+              # was timed (e.g. --resume of an already-complete run)
+              "ms_per_step": (round(per_step * 1e3, 3)
+                              if per_step == per_step else None),
+              **terms, **result_extra}
     if cfg.restarts > 1:
         result["restart_elbos"] = [round(e, 3) for e in restart_elbos]
 

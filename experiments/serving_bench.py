@@ -196,6 +196,10 @@ def main():
                 }
             )
             print(rows[-1], flush=True)
+        # compile-once for the cross-view predictor too (the artifact's
+        # compile_once_verified covers every timed mode)
+        n_cached = predictor._cache_size()
+        assert n_cached == len(BATCHES), (mode, n_cached)
 
     # the default (auto) mode must not lose to either fixed mode at any
     # batch size (10% timing-noise margin) — the VERDICT r2 weak-5 gate

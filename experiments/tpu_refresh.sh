@@ -54,6 +54,13 @@ run_job serving 3600 python experiments/serving_bench.py --out results/serving_b
 #    with --check).
 run_job c9 5400 python experiments/run.py c9_mrd_svi_bigN --out results/c9
 
+# 5/6. gate re-confirmation for the big-N configs whose trajectories
+#    shifted with the resume-aware rng derivation (drive now folds the
+#    chunk step index instead of sequentially splitting) — headroom
+#    should absorb it; verify on-chip.
+run_job c6_check 5400 python experiments/run.py c6_svi_bigN --check --out results/c6_recheck
+run_job c7_check 7200 python experiments/run.py c7_dp_svi --check --out results/c7_recheck
+
 echo "== summary =="
 for k in "${!STATUS[@]}"; do echo "$k: ${STATUS[$k]}"; done
 echo "next: python experiments/calibrate_checks.py results/c8/result.json \\"

@@ -46,3 +46,19 @@ def test_svi_loop_resume_bit_identical(tmp_path):
 
     assert res_a["elbo"] == res_b["elbo"], (res_a["elbo"], res_b["elbo"])
     assert res_a["imputation_mse"] == res_b["imputation_mse"]
+
+
+def test_svi_stream_loop_resume_bit_identical(tmp_path):
+    """Same drill through the host-streaming pipeline: the Philox
+    fast-forward (ChunkStream skip_chunks) replays the exact index
+    sequence a previous run consumed, so the resumed streamed run
+    finishes bit-identical to an uninterrupted streamed run."""
+    out_a = str(tmp_path / "straight")
+    out_b = str(tmp_path / "interrupted")
+
+    res_a, _ = _run(out_a, "--stream")
+    _run(out_b, "--stream", "--stop-after", "4", "--ckpt-every", "2")
+    res_b, log_b = _run(out_b, "--stream", "--resume", "--ckpt-every",
+                        "2")
+    assert "resumed at step 4" in log_b, log_b
+    assert res_a["elbo"] == res_b["elbo"], (res_a["elbo"], res_b["elbo"])
