@@ -37,6 +37,16 @@ class ExperimentConfig:
     #                              (models/amortized.py): O(encoder)
     #                              variational state instead of the
     #                              O(N) table — SVI families only
+    noise_floor: float = 0.0     # lower bound on noise VARIANCE for the
+    #                              SVI families (svi_gplvm/dp_svi/mrd_svi
+    #                              Config.noise_floor). Required in
+    #                              amortized mode: a shared encoder can
+    #                              memorize y->x and collapse the noise
+    #                              to its 1e-6 f32 floor (measured on the
+    #                              first c8 TPU run: elbo estimates
+    #                              oscillating at +-1e8 from beta~1e6 f32
+    #                              cancellation, held-out imputation 10x
+    #                              worse than c6's resident table).
     ngd_lr: float | None = None  # natural-gradient rate for q(X) params
     #                              (train.loop.ngd_precondition); None = Adam
     #                              everywhere. ~1.0 is the measured stable
@@ -131,6 +141,7 @@ CONFIGS: dict[str, ExperimentConfig] = {
         name="c8_amortized_svi", model="svi_gplvm", dataset="mocap",
         n=131072, d=32, q=8, m=64, steps=6000, lr=3e-3,
         missing_fraction=0.5, psi2_block=8192, amortized=True,
+        noise_floor=1e-3,
     ),
     # Beyond-reference: minibatch multi-view MRD-SVI (models/mrd_svi.py)
     # at 128x the reference's data scale (reference MRD / c3 is

@@ -122,6 +122,10 @@ class Config(NamedTuple):
     # the flagship model. encoder_hidden=0 is the pure-linear encoder.
     amortized: bool = False
     encoder_hidden: int = 64
+    # Lower bound on the noise VARIANCE (see svi_gplvm.Config.
+    # noise_floor: prevents encoder-driven noise collapse and the
+    # beta~1e6 f32 cancellation it causes in the bound)
+    noise_floor: float = 0.0
 
 
 def init_params(rng, Y, config: Config):
@@ -166,12 +170,17 @@ def init_params(rng, Y, config: Config):
     return params
 
 
-def constrain(params):
+def constrain(params, config: Config | None = None):
+    """config is optional for external/test callers (floor =
+    MIN_NOISE); model-internal paths pass it so Config.noise_floor
+    binds."""
+    floor = config.noise_floor if config is not None else 0.0
     out = {
         "z": params["z"],
         "variance": positive(params["raw_variance"]),
         "ard": positive(params["raw_ard"]),
-        "noise": positive_noise(params["raw_noise"]),
+        "noise": (positive(params["raw_noise"], max(floor, 1e-6))
+                  if floor else positive_noise(params["raw_noise"])),
         "phi": jax.nn.softmax(params["phi_logits"], axis=-1),
         "phi_logits": params["phi_logits"],   # for the saturation-stable
         #                                       entropy in dp_kl_terms
@@ -365,7 +374,7 @@ def elbo_terms(params, Y, config: Config,
     policy = policy or JitterPolicy()
     if config.fast_chol:
         policy = policy._replace(max_tries=0)
-    c = constrain(params)
+    c = constrain(params, config)
     mu, s = _qx(c, Y, None)
     stats = _batch_stats(c, mu, s, Y, config)
     kl_x = gaussian.kl_to_standard_normal(mu, s)
@@ -388,7 +397,7 @@ def elbo_minibatch(params, y_batch, idx, n_total: int, config: Config,
     policy = policy or JitterPolicy()
     if config.fast_chol:
         policy = policy._replace(max_tries=0)
-    c = constrain(params)
+    c = constrain(params, config)
     mu_b, s_b = _qx(c, y_batch, idx)
     scale = jnp.asarray(n_total / y_batch.shape[0], y_batch.dtype)
     stats = _scale_stats(
@@ -408,7 +417,7 @@ def optimal_qu(params, Y, config: Config,
     per atom: Lambda_t* = I + beta_t A2_t, h_td* = beta_t a_td
     (phi-independent; see module docstring). Returns (u_h, u_lam)."""
     policy = policy or JitterPolicy()
-    c = constrain(params)
+    c = constrain(params, config)
     mu, s = _qx(c, Y, None)
     _, p1y, p2, _, _ = _batch_stats(c, mu, s, Y, config)
     a_all, A2_all = _atom_whitened(c, p1y, p2, config, policy)
@@ -550,9 +559,9 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
                     p, y_b, idx, n_total, config, mesh,
                     policy=policy, with_aux=True,
                 )
-                beta = 1.0 / positive_noise(p["raw_noise"])
+                beta = 1.0 / constrain(p, config)["noise"]
                 return -elbo_v, (a_all, A2_all, beta, f_td)
-            c = constrain(p)
+            c = constrain(p, config)
             mu_b, s_b = _qx(c, y_b, idx)
             stats = _scale_stats(
                 _batch_stats(c, mu_b, s_b, y_b, config), scale
@@ -578,10 +587,10 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
 
         if blend_at == "updated":
             _, (a_all, A2_all, beta, f_td) = loss_with_stats(params)
-            c = constrain(params)
+            c = constrain(params, config)
         else:
             a_all, A2_all, beta, f_td = aux
-            c = constrain(params)
+            c = constrain(params, config)
 
         rho_t = rho_at(state.step).astype(A2_all.dtype)
         m = A2_all.shape[-1]
@@ -652,7 +661,7 @@ def expected_residuals(params, Y, config: Config,
     measured at c7 scale: ladder topped out at 0.65 with a planted
     1.2-noise group)."""
     policy = policy or JitterPolicy()
-    c = constrain(params)
+    c = constrain(params, config)
     mu, s = _qx(c, Y, None)
     stats = _batch_stats(c, mu, s, Y, config)
     p0, p1y, p2, yty, n = stats
@@ -756,11 +765,11 @@ def split_single_atom(params, config: Config, spread: float = 1.5,
 # ---------------------------------------------------------------------------
 
 
-def qu_moments(params):
+def qu_moments(params, config: Config | None = None):
     """Per-atom whitened q(u|t) moments from the stored naturals:
     S_t = Lambda_t^{-1} (via the ridge-guarded Cholesky), mean m_td =
     S_t h_td. Returns (mean (T, M, D), S (T, M, M))."""
-    c = constrain(params)
+    c = constrain(params, config)
 
     def one(h_t, lam_t):
         Llam = _lam_cholesky(lam_t)
@@ -826,7 +835,7 @@ def predict_from_latent(params, x_mean, x_var, config: Config,
     predictive; at T = 1 it reduces to svi_gplvm.predict_from_latent
     (tested)."""
     policy = policy or JitterPolicy()
-    c = constrain(params)
+    c = constrain(params, config)
     mu_t, S_t = qu_moments(params)
     f_mean_t, var_t = _atom_predictive(
         c, x_mean, x_var, mu_t, S_t, config, policy
@@ -852,7 +861,7 @@ def infer_latent(
     from dp_gp_lvm_tpu.models.prediction import _fit_variational
 
     policy = policy or JitterPolicy()
-    c = constrain(params)
+    c = constrain(params, config)
     mu_t, S_t = qu_moments(params)
     phi = c["phi"]                                       # (D, T)
     beta = 1.0 / c["noise"]                              # (T,)
@@ -896,7 +905,7 @@ def _nearest_latent_init(params, y_star, mask, config: Config):
     """Init q(x*) means from the training latent whose mixture-predicted
     mean best matches the observed dims (N-capped candidate subsample;
     no training Y needed)."""
-    c = constrain(params)
+    c = constrain(params, config)
     if "qx_mean" not in c:
         from dp_gp_lvm_tpu.models import amortized
 

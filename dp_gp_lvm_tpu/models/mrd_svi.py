@@ -70,6 +70,9 @@ class Config(NamedTuple):
     # serving — see cross_view_predict)
     amortized: bool = False
     encoder_hidden: int = 64
+    # Lower bound on the per-view noise VARIANCE (see
+    # svi_gplvm.Config.noise_floor — same encoder-collapse guard)
+    noise_floor: float = 0.0
     # per-view output dims, needed only by the STREAMING step to split
     # the host-fed concatenated row block back into views (the stream
     # pipeline, data/stream.py, serves one mmap'd (N, sum D_v) matrix)
@@ -84,6 +87,7 @@ def _svi_config(config: Config) -> svi.Config:
         use_pallas=config.use_pallas, kernel=config.kernel,
         fast_chol=config.fast_chol, amortized=config.amortized,
         encoder_hidden=config.encoder_hidden,
+        noise_floor=config.noise_floor,
     )
 
 
@@ -127,11 +131,12 @@ def _view_params(params, v: int):
             **params["views"][v]}
 
 
-def constrain_views(params):
+def constrain_views(params, config: Config | None = None):
     """List of per-view constrained dicts (svi_gplvm.constrain per view;
     the shared q(X)/encoder leaves appear in each — same arrays, no
-    copies under jit)."""
-    return [svi.constrain(_view_params(params, v))
+    copies under jit). config threads Config.noise_floor (duck-typed:
+    svi_gplvm.constrain only reads .noise_floor)."""
+    return [svi.constrain(_view_params(params, v), config)
             for v in range(len(params["views"]))]
 
 
@@ -173,7 +178,7 @@ def elbo_terms(params, Ys, config: Config,
     from dp_gp_lvm_tpu.models import amortized
 
     policy = _policy(config, policy)
-    c_views = constrain_views(params)
+    c_views = constrain_views(params, config)
     Yall = jnp.concatenate(list(Ys), axis=1)
     mu, s = amortized.qx_batch(c_views[0], Yall, None)
     bounds, _ = _bounds_per_view(c_views, Ys, mu, s, config, policy)
@@ -202,7 +207,7 @@ def elbo_minibatch(params, y_batches: Sequence[jnp.ndarray], idx,
     from dp_gp_lvm_tpu.models import amortized
 
     policy = _policy(config, policy)
-    c_views = constrain_views(params)
+    c_views = constrain_views(params, config)
     y_cat = jnp.concatenate(list(y_batches), axis=1)
     mu_b, s_b = amortized.qx_batch(c_views[0], y_cat, idx)
     scale = jnp.asarray(n_total / y_cat.shape[0], y_cat.dtype)
@@ -226,7 +231,7 @@ def set_optimal_qu(params, Ys, config: Config,
     from dp_gp_lvm_tpu.models import amortized
 
     policy = _policy(config, policy)
-    c_views = constrain_views(params)
+    c_views = constrain_views(params, config)
     Yall = jnp.concatenate(list(Ys), axis=1)
     mu, s = amortized.qx_batch(c_views[0], Yall, None)
     _, whitened = _bounds_per_view(c_views, Ys, mu, s, config, policy)
@@ -315,7 +320,7 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
                 return -bound, whitened
             from dp_gp_lvm_tpu.models import amortized
 
-            c_views = constrain_views(p)
+            c_views = constrain_views(p, config)
             y_cat = jnp.concatenate(y_b, axis=1)
             mu_b, s_b = amortized.qx_batch(c_views[0], y_cat, idx)
             scale = jnp.asarray(n_total / y_cat.shape[0], y_cat.dtype)
@@ -349,7 +354,7 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
             m = A2.shape[0]
             lam_hat = jnp.eye(m, dtype=A2.dtype) + beta * A2
             h_hat = beta * a
-            cv = svi.constrain(vp)
+            cv = svi.constrain(vp, config)
             h, lam = svi._natural_from_params(cv)
             lam_new = (1.0 - rho_v) * lam + rho_v * lam_hat
             h_new = (1.0 - rho_v) * h + rho_v * h_hat
@@ -388,7 +393,7 @@ def infer_latent(params, observed: dict[int, jnp.ndarray], m_init,
     items = sorted(observed.items())
     caches = []
     for v, y in items:
-        c = svi.constrain(_view_params(params, v))
+        c = svi.constrain(_view_params(params, v), config)
         kuu = dispatch.gram(
             c["variance"], c["ard"], c["z"], kernel=config.kernel
         )
@@ -433,7 +438,7 @@ def _latent_init(params, observed: dict[int, jnp.ndarray], config: Config,
     centering). Resident: nearest training latent by predicted-mean
     distance in the first observed view (N-capped candidate set)."""
     items = sorted(observed.items())
-    c0 = svi.constrain(_view_params(params, items[0][0]))
+    c0 = svi.constrain(_view_params(params, items[0][0]), config)
     dims = [vp["u_mean"].shape[1] for vp in params["views"]]
     if "qx_mean" not in c0:
         from dp_gp_lvm_tpu.models import amortized
@@ -496,7 +501,7 @@ def candidate_table(params, view: int, config: Config):
     (serving.make_mrd_svi_predictor) hoist this to factory time so the
     per-request program never re-lowers the C-candidate predict_view
     pipeline (the pattern of the other factories in models/serving.py)."""
-    c0 = svi.constrain(_view_params(params, view))
+    c0 = svi.constrain(_view_params(params, view), config)
     n = c0["qx_mean"].shape[0]
     take = jnp.arange(0, n, max(1, n // 4096))
     cand, cand_var = c0["qx_mean"][take], c0["qx_var"][take]

@@ -236,7 +236,7 @@ def make_svi_pathwise_sampler(
     from dp_gp_lvm_tpu.models import svi_gplvm as svi
     from dp_gp_lvm_tpu.ops import dispatch
 
-    c = svi.constrain(params)
+    c = svi.constrain(params, config)
     kernel = config.kernel
     dtype = c["u_mean"].dtype
     m, d = c["u_mean"].shape

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from dp_gp_lvm_tpu.core.transforms import (
+    MIN_NOISE,
     positive,
     positive_inverse,
     positive_noise,
@@ -72,6 +73,15 @@ class Config(NamedTuple):
     # encoder_hidden=0 is the pure-linear (back-constraint) encoder
     amortized: bool = False
     encoder_hidden: int = 64
+    # Lower bound on the noise VARIANCE (0.0 = just the f32 MIN_NOISE
+    # floor). Needed in amortized mode: a shared encoder can memorize
+    # y->x and drive the noise to its 1e-6 floor, which (a) overfits
+    # (held-out imputation degrades ~10x, measured on c8) and (b) makes
+    # the f32 bound a difference of beta~1e6-scale terms — catastrophic
+    # cancellation, elbo estimates oscillating at +-1e8. A 1e-3 floor
+    # on unit-standardized data bounds beta at 1e3 and keeps the
+    # encoder's posterior honest.
+    noise_floor: float = 0.0
 
 
 def init_params(rng, Y, config: Config):
@@ -104,14 +114,19 @@ def init_params(rng, Y, config: Config):
     }
 
 
-def constrain(params):
+def constrain(params, config: Config | None = None):
+    """config is optional for external/test callers (floor = MIN_NOISE);
+    model-internal paths pass it so Config.noise_floor binds."""
     raw = params["raw_u_scale"]
     ls = jnp.tril(raw, -1) + jnp.diag(positive(jnp.diagonal(raw)))
+    floor = config.noise_floor if config is not None else 0.0
+    floor = max(floor, MIN_NOISE) if floor else 0.0
     c = {
         "z": params["z"],
         "variance": positive(params["raw_variance"]),
         "ard": positive(params["raw_ard"]),
-        "noise": positive_noise(params["raw_noise"]),
+        "noise": (positive(params["raw_noise"], floor)
+                  if floor else positive_noise(params["raw_noise"])),
         "u_mean": params["u_mean"],
         "u_scale": ls,                # chol factor of whitened S
     }
@@ -204,7 +219,7 @@ def elbo_minibatch(
     policy = policy or JitterPolicy()
     if config.fast_chol:
         policy = policy._replace(max_tries=0)
-    c = constrain(params)
+    c = constrain(params, config)
     mu_b, s_b = _qx_batch(c, y_batch, idx)
     scale = jnp.asarray(n_total / y_batch.shape[0], y_batch.dtype)
     stats = dispatch.suff_stats(
@@ -228,7 +243,7 @@ def elbo(params, Y, config: Config, policy: JitterPolicy | None = None):
     policy = policy or JitterPolicy()
     if config.fast_chol:
         policy = policy._replace(max_tries=0)
-    c = constrain(params)
+    c = constrain(params, config)
     mu, s = _qx_batch(c, Y, None)
     stats = dispatch.suff_stats(
         c["variance"], c["ard"], mu, s, c["z"], Y,
@@ -251,7 +266,7 @@ def optimal_qu(params, Y, config: Config, policy: JitterPolicy | None = None):
     """Closed-form optimal whitened q(u) at FULL-batch statistics:
     S* = (I + beta A2)^{-1}, m* = beta S* a. Returns (m*, chol(S*))."""
     policy = policy or JitterPolicy()
-    c = constrain(params)
+    c = constrain(params, config)
     mu, s = _qx_batch(c, Y, None)
     stats = dispatch.suff_stats(
         c["variance"], c["ard"], mu, s, c["z"], Y,
@@ -334,7 +349,7 @@ def predict_from_latent(params, x_mean, x_var, config: Config,
     """Predictive mean/variance at q(x*) = N(x_mean, diag(x_var)) rows,
     directly from the explicit q(u) (no training data needed)."""
     policy = policy or JitterPolicy()
-    c = constrain(params)
+    c = constrain(params, config)
     kuu = dispatch.gram(c["variance"], c["ard"], c["z"],
                         kernel=config.kernel)
     L, _ = safe_cholesky(kuu, policy)
@@ -385,7 +400,7 @@ def infer_latent(
     from dp_gp_lvm_tpu.models.prediction import _fit_variational
 
     policy = policy or JitterPolicy()
-    c = constrain(params)
+    c = constrain(params, config)
     kuu = dispatch.gram(c["variance"], c["ard"], c["z"],
                         kernel=config.kernel)
     L, _ = safe_cholesky(kuu, policy)
@@ -447,7 +462,7 @@ def _nearest_latent_init(params, y_star, mask, config: Config):
     the encoder's center `enc_mean`, so after centering they contribute
     exactly zero to the forward pass (the back-constraint analogue of
     conditioning on observed dims only)."""
-    c = constrain(params)
+    c = constrain(params, config)
     if "qx_mean" not in c:
         from dp_gp_lvm_tpu.models import amortized
 
@@ -609,9 +624,9 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
                     p, y_b, idx, n_total, config, mesh,
                     policy=policy, with_aux=True,
                 )
-                beta = 1.0 / positive_noise(p["raw_noise"])
+                beta = 1.0 / constrain(p, config)["noise"]
                 return -bound, (a, A2, beta)
-            c = constrain(p)
+            c = constrain(p, config)
             stats, kl_x = _scaled_batch_stats(c, y_b, idx, n_total, config)
             bound, a, A2 = _bound_and_whitened(c, stats, kl_x, policy,
                                                config.kernel)
@@ -637,11 +652,11 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
             # through the mesh program when one is set (the discarded
             # bound output is dead-code-eliminated under jit)
             _, (a, A2, beta) = loss_with_stats(params)
-            c = constrain(params)
+            c = constrain(params, config)
         else:
             # reuse the gradient pass's whitened statistics (old params)
             a, A2, beta = aux
-            c = constrain(params)
+            c = constrain(params, config)
         rho_t = rho_at(state.step).astype(A2.dtype)
         m = A2.shape[0]
         lam_hat = jnp.eye(m, dtype=A2.dtype) + beta * A2

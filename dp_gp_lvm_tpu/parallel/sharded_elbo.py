@@ -311,7 +311,7 @@ def svi_elbo_sharded(
     b_total = y_batch.shape[0]
 
     def program(p, y_b, ix):
-        c = svi.constrain(p)
+        c = svi.constrain(p, config)
         # table gather (resident) or recognition-net forward (amortized);
         # either way the cotangents w.r.t. the replicated leaves psum at
         # the shard_map transpose, so gradients match single-device
@@ -378,7 +378,7 @@ def mrd_svi_elbo_sharded(
     b_total = y_batches[0].shape[0]
 
     def program(p, y_bs, ix):
-        c_views = mrd_svi.constrain_views(p)
+        c_views = mrd_svi.constrain_views(p, config)
         y_cat = jnp.concatenate(list(y_bs), axis=1)
         mu_b, s_b = amortized.qx_batch(c_views[0], y_cat, ix)
         scale = jnp.asarray(n_total / b_total, y_cat.dtype)

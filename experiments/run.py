@@ -230,7 +230,8 @@ def main():
         mcfg = svi_gplvm.Config(num_latent=cfg.q, num_inducing=cfg.m,
                                 batch=args.batch or 1024,
                                 psi2_block=cfg.psi2_block,
-                                amortized=cfg.amortized)
+                                amortized=cfg.amortized,
+                                noise_floor=cfg.noise_floor)
         if cfg.missing_fraction > 0:
             # same clean protocol as config 5: strided interpolation
             # holdout, train-only standardization
@@ -250,7 +251,13 @@ def main():
         init_fn = lambda k: svi_gplvm.init_params(k, data[0], mcfg)
         params = init_fn(rng)
         loss_fn = None          # stochastic: custom minibatch loop below
-        terms_fn = lambda p: {"elbo": svi_gplvm.elbo(p, data[0], mcfg)}
+        terms_fn = lambda p: {
+            "elbo": svi_gplvm.elbo(p, data[0], mcfg),
+            # trained noise variance: the collapse diagnostic (an elbo
+            # at +1e8 with noise at its floor is f32 cancellation, not
+            # a good fit — see Config.noise_floor)
+            "noise": svi_gplvm.constrain(p, mcfg)["noise"],
+        }
     elif cfg.model == "mrd_svi":
         from dp_gp_lvm_tpu.models import mrd_svi
 
@@ -259,11 +266,17 @@ def main():
                               batch=args.batch or 1024,
                               psi2_block=cfg.psi2_block,
                               amortized=cfg.amortized,
+                              noise_floor=cfg.noise_floor,
                               view_dims=tuple(cfg.views))
         init_fn = lambda k: mrd_svi.init_params(k, list(data), mcfg)
         params = init_fn(rng)
         loss_fn = None          # stochastic: custom minibatch loop below
-        terms_fn = lambda p: {"elbo": mrd_svi.elbo(p, list(data), mcfg)}
+        terms_fn = lambda p: {
+            "elbo": mrd_svi.elbo(p, list(data), mcfg),
+            "noise_min": jnp.min(jnp.stack([
+                c["noise"] for c in mrd_svi.constrain_views(p, mcfg)
+            ])),
+        }
     elif cfg.model == "dp_svi":
         from dp_gp_lvm_tpu.models import dp_svi
 
@@ -275,11 +288,15 @@ def main():
                              batch=args.batch or 2048,
                              psi2_block=cfg.psi2_block,
                              ard_init=1.0 / cfg.q,
-                             amortized=cfg.amortized)
+                             amortized=cfg.amortized,
+                             noise_floor=cfg.noise_floor)
         init_fn = lambda k: dp_svi.init_params(k, data[0], mcfg)
         params = init_fn(rng)
         loss_fn = None          # stochastic: custom minibatch loop below
-        terms_fn = lambda p: {"elbo": dp_svi.elbo(p, data[0], mcfg)}
+        terms_fn = lambda p: {
+            "elbo": dp_svi.elbo(p, data[0], mcfg),
+            "noise_min": jnp.min(dp_svi.constrain(p, mcfg)["noise"]),
+        }
     else:
         raise ValueError(cfg.model)
 

@@ -310,3 +310,45 @@ def test_natgrad_trains_stably():
     e_nat = float(svi_gplvm.elbo(st_n.params, Y, cfg))
     assert np.isfinite(e_nat)
     assert e_nat > e0 + 10.0, (e0, e_nat)
+
+
+def test_noise_floor_binds_and_elbo_stays_bounded():
+    """Config.noise_floor lower-bounds the constrained noise variance
+    (the amortized-mode collapse guard — see the c8 postmortem in
+    Config.noise_floor's docstring): even at raw_noise -> -inf the
+    constrained value stays >= floor, and the full-data ELBO respects
+    the per-value information bound -0.5*log(2*pi*floor) that a
+    collapsed-noise f32 cancellation would blow through."""
+    Y, cfg, params = _setup(n=32, d=4)
+    cfg = cfg._replace(noise_floor=1e-3, amortized=False)
+    params["raw_noise"] = jnp.asarray(-40.0, Y.dtype)  # softplus -> ~0
+    c = svi_gplvm.constrain(params, cfg)
+    assert float(c["noise"]) >= 1e-3
+    # external callers without a config keep the legacy MIN_NOISE floor
+    c_legacy = svi_gplvm.constrain(params)
+    assert float(c_legacy["noise"]) < 1e-3
+    e = float(svi_gplvm.elbo(params, Y, cfg))
+    n_vals = Y.size
+    cap = n_vals * 0.5 * (-np.log(2 * np.pi * 1e-3))  # perfect-fit max
+    assert np.isfinite(e) and e <= cap + 1.0, (e, cap)
+
+
+def test_noise_floor_amortized_trains_above_floor():
+    """Amortized training under a noise floor stays finite and the
+    trained noise respects the floor (regression for the c8 collapse:
+    without the floor the encoder memorizes y->x and the bound becomes
+    beta~1e6 f32 cancellation noise)."""
+    Y, _, _ = _setup(n=64, d=6)
+    cfg = svi_gplvm.Config(num_latent=2, num_inducing=8, batch=32,
+                           amortized=True, noise_floor=1e-3)
+    params = svi_gplvm.init_params(jax.random.PRNGKey(1), Y, cfg)
+    opt = gp_optimizer(params, lr=2e-2)
+    step = svi_gplvm.make_svi_step(cfg, Y.shape[0], opt)
+    state = init_state(params, opt)
+    rng = jax.random.PRNGKey(3)
+    for _ in range(100):
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, sub, Y)
+    c = svi_gplvm.constrain(state.params, cfg)
+    assert float(c["noise"]) >= 1e-3
+    assert np.isfinite(float(svi_gplvm.elbo(state.params, Y, cfg)))
