@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 
 
 @dataclasses.dataclass(frozen=True)
@@ -230,6 +231,10 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
         "group_purity_min": (">=", 0.6),
         "distinct_atoms_for_groups": (">=", 4.0),
         "rows_per_sec": (">=", 100000.0),
+        # round-3 verdict weak-3: the mixture predictive emitted NaN PLL
+        # and nothing gated it. Conservative floor; tighten once a valid
+        # TPU artifact lands.
+        "predictive_loglik_per_dim": (">=", -2.0),
     },
     # conservative first-run floors (amortization restricts the
     # variational family, so elbo/mse sit below/above the c6 values by
@@ -257,9 +262,33 @@ _OPS = {
 }
 
 
+def _walk_numeric(obj, path, out):
+    if isinstance(obj, bool):
+        return
+    if isinstance(obj, (int, float)):
+        out.append((path, float(obj)))
+    elif isinstance(obj, dict):
+        for k, v in obj.items():
+            _walk_numeric(v, f"{path}.{k}" if path else str(k), out)
+    elif isinstance(obj, (list, tuple)):
+        for i, v in enumerate(obj):
+            _walk_numeric(v, f"{path}[{i}]", out)
+
+
 def evaluate_checks(name: str, result: dict) -> list[str]:
-    """Return a list of human-readable failures (empty = all gates pass)."""
+    """Return a list of human-readable failures (empty = all gates pass).
+
+    Finiteness-by-default (round-3 verdict weak-4a): EVERY numeric leaf in
+    result must be finite, gated or not — a NaN predictive log-likelihood
+    or an overflowed ELBO fails the check even when no named gate covers
+    that metric.
+    """
     failures = []
+    numerics: list[tuple[str, float]] = []
+    _walk_numeric(result, "", numerics)
+    for path, value in numerics:
+        if math.isnan(value) or math.isinf(value):
+            failures.append(f"{path}: non-finite value {value}")
     for metric, (op, threshold) in CHECKS.get(name, {}).items():
         if metric not in result or result[metric] is None:
             failures.append(f"{metric}: MISSING from result")

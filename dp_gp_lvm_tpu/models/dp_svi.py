@@ -74,6 +74,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from dp_gp_lvm_tpu.core.transforms import (
+    MIN_NOISE,
     positive,
     positive_inverse,
     positive_noise,
@@ -179,7 +180,7 @@ def constrain(params, config: Config | None = None):
         "z": params["z"],
         "variance": positive(params["raw_variance"]),
         "ard": positive(params["raw_ard"]),
-        "noise": (positive(params["raw_noise"], max(floor, 1e-6))
+        "noise": (positive(params["raw_noise"], max(floor, MIN_NOISE))
                   if floor else positive_noise(params["raw_noise"])),
         "phi": jax.nn.softmax(params["phi_logits"], axis=-1),
         "phi_logits": params["phi_logits"],   # for the saturation-stable
@@ -819,7 +820,9 @@ def _atom_predictive(c, x_mean, x_var, mu_t_all, S_t_all, config,
             (k_diag + gp_var)[:, None] + m_quad - f_mean * f_mean
             + noise_t
         )
-        return f_mean, var
+        # Mathematically var >= noise_t (every other term is a variance);
+        # the floor only removes f32 cancellation in m_quad - f_mean^2.
+        return f_mean, jnp.maximum(var, noise_t)
 
     return jax.vmap(atom)(
         c["variance"], c["ard"], c["z"], c["noise"], mu_t_all, S_t_all
@@ -836,16 +839,19 @@ def predict_from_latent(params, x_mean, x_var, config: Config,
     (tested)."""
     policy = policy or JitterPolicy()
     c = constrain(params, config)
-    mu_t, S_t = qu_moments(params)
+    mu_t, S_t = qu_moments(params, config)
     f_mean_t, var_t = _atom_predictive(
         c, x_mean, x_var, mu_t, S_t, config, policy
     )                                                    # (T, N*, D)
     w = c["phi"].T[:, None, :]                           # (T, 1, D)
     mix_mean = jnp.sum(w * f_mean_t, axis=0)
-    mix_var = (
-        jnp.sum(w * (var_t + f_mean_t * f_mean_t), axis=0)
-        - mix_mean * mix_mean
-    )
+    # Cancellation-free mixture variance: sum_t w (var_t + (m_t - mean)^2)
+    # — algebraically equal to sum_t w (var_t + m_t^2) - mean^2 but every
+    # term is non-negative, so f32 cancellation can never drive it
+    # negative (the E[m^2]-mean^2 form produced NaN predictive
+    # log-likelihoods at c7 scale, round-3 verdict weak-3).
+    dev = f_mean_t - mix_mean[None]
+    mix_var = jnp.sum(w * (var_t + dev * dev), axis=0)
     return mix_mean, mix_var
 
 
@@ -862,7 +868,7 @@ def infer_latent(
 
     policy = policy or JitterPolicy()
     c = constrain(params, config)
-    mu_t, S_t = qu_moments(params)
+    mu_t, S_t = qu_moments(params, config)
     phi = c["phi"]                                       # (D, T)
     beta = 1.0 / c["noise"]                              # (T,)
     log2pi = jnp.log(2.0 * jnp.pi).astype(y_star.dtype)

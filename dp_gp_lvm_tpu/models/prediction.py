@@ -319,8 +319,11 @@ def dp_predict_from_latent(caches: PosteriorCache, phi, m_star, s_star,
     )(caches)                                            # (T, N*, D) each
     w = phi.T[:, None, :]                                # (T, 1, D)
     mean = jnp.sum(w * means, axis=0)
-    second = jnp.sum(w * (vars_ + means * means), axis=0)
-    return mean, jnp.maximum(second - mean * mean, 1e-12)
+    # Cancellation-free mixture variance (vs the E[m^2] - mean^2 form,
+    # which NaN'd the DP-SVI serving path at c7 scale): every term is
+    # non-negative by construction.
+    dev = means - mean[None]
+    return mean, jnp.maximum(jnp.sum(w * (vars_ + dev * dev), axis=0), 1e-12)
 
 
 def dp_infer_latent(
@@ -489,6 +492,8 @@ def gaussian_predictive_loglik(y_true, mean, var, mask):
     """Moment-matched per-dim predictive log-likelihood, summed over the
     entries selected by mask (use mask = 1 - observed_mask for imputation).
     The paper's quality metric (SURVEY.md section 6)."""
+    var = jnp.maximum(var, 1e-10)  # defensive: a negative/zero variance
+    #   upstream must never turn the paper metric into NaN silently
     ll = -0.5 * (
         jnp.log(2.0 * jnp.pi).astype(mean.dtype)
         + jnp.log(var)

@@ -358,8 +358,12 @@ def predict_from_latent(params, x_mean, x_var, config: Config,
     #            + m_d^T A2_n m_d - (phi_n^T m_d)^2
     phi, gp_var, m_quad = _latent_row_pieces(c, L, x_mean, x_var, config)
     mean = jnp.dot(phi, c["u_mean"], precision=_HIGHEST)
+    # m_quad - mean^2 = m^T (A2 - phi phi^T) m >= 0 mathematically, but
+    # f32 cancellation can drive the sum below 0; the true predictive
+    # variance is >= noise, so flooring at noise is exact-on-math and
+    # keeps gaussian_predictive_loglik finite (round-3 weak-3 audit).
     var = gp_var[:, None] + m_quad - mean * mean + c["noise"]
-    return mean, var
+    return mean, jnp.maximum(var, c["noise"])
 
 
 def make_svi_step(config: Config, n_total: int, optimizer):

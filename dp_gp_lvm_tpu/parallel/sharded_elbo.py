@@ -454,7 +454,7 @@ def dp_svi_elbo_sharded(
     learn_alpha = "raw_alpha" in params
 
     def program(p, y_b, ix):
-        c = dp_svi.constrain(p)          # atom leaves are LOCAL blocks
+        c = dp_svi.constrain(p, config)  # atom leaves are LOCAL blocks
         mu_b, s_b = dp_svi._qx(c, y_b, ix)   # gather or encode
         scale = jnp.asarray(n_total / b_total, y_b.dtype)
         stats = dispatch.dp_batched_suffstats(

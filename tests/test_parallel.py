@@ -328,6 +328,52 @@ def test_dp_svi_sharded_matches_single_device(toy):
         )
 
 
+def test_dp_svi_sharded_matches_single_device_with_noise_floor(toy):
+    """Config.noise_floor must bind identically on the mesh path: the
+    round-3 advisor found dp_svi_elbo_sharded calling constrain without
+    config, silently optimizing an UNFLOORED objective under --mesh while
+    the natgrad beta used the floored noise. Exactness with a floor high
+    enough to actually bind (0.05) is the regression net."""
+    from dp_gp_lvm_tpu.models import dp_svi
+    from dp_gp_lvm_tpu.parallel.sharded_elbo import (
+        dp_svi_elbo_sharded,
+        dp_svi_loss_sharded,
+    )
+
+    Y = toy
+    cfg = dp_svi.Config(num_latent=3, num_inducing=8, truncation=4,
+                        batch=16, noise_floor=0.05)
+    params = dp_svi.init_params(jax.random.PRNGKey(2), Y, cfg)
+    params = dp_svi.set_optimal_qu(params, Y, cfg)
+    # push raw_noise well below the floor so floored != unfloored
+    params["raw_noise"] = params["raw_noise"] - 5.0
+    n = Y.shape[0]
+    idx = jnp.arange(0, 16)
+    y_b = Y[idx]
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    single = float(dp_svi.elbo_minibatch(params, y_b, idx, n, cfg))
+    sharded = float(dp_svi_elbo_sharded(params, y_b, idx, n, cfg, mesh))
+    np.testing.assert_allclose(sharded, single, rtol=1e-8)
+    # and the floor must have bound (otherwise this test is vacuous)
+    cfg_nofloor = dp_svi.Config(num_latent=3, num_inducing=8,
+                                truncation=4, batch=16)
+    unfloored = float(dp_svi.elbo_minibatch(params, y_b, idx, n,
+                                            cfg_nofloor))
+    assert abs(unfloored - single) > 1e-3
+    g1 = jax.grad(
+        lambda p: dp_svi.loss_minibatch(p, y_b, idx, n, cfg)
+    )(params)
+    g2 = jax.grad(
+        lambda p: dp_svi_loss_sharded(p, y_b, idx, n, cfg, mesh)
+    )(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        )
+
+
 def test_dp_svi_sharded_step_matches_unsharded(toy):
     """make_dp_svi_step(mesh=...) reproduces the unsharded step exactly:
     same deterministic batch, same loss trajectory and parameters."""
