@@ -48,6 +48,12 @@ class ExperimentConfig:
     #                              oscillating at +-1e8 from beta~1e6 f32
     #                              cancellation, held-out imputation 10x
     #                              worse than c6's resident table).
+    qx_var_floor: float = 0.0    # additive floor on AMORTIZED q(X)
+    #                              variance (svi Config.qx_var_floor):
+    #                              prevents the shared-encoder variance
+    #                              collapse that makes batch psi stats
+    #                              hyper-local and diverges the natgrad
+    #                              q(u) recursion at c8 scale (round 4)
     ngd_lr: float | None = None  # natural-gradient rate for q(X) params
     #                              (train.loop.ngd_precondition); None = Adam
     #                              everywhere. ~1.0 is the measured stable
@@ -142,7 +148,7 @@ CONFIGS: dict[str, ExperimentConfig] = {
         name="c8_amortized_svi", model="svi_gplvm", dataset="mocap",
         n=131072, d=32, q=8, m=64, steps=6000, lr=3e-3,
         missing_fraction=0.5, psi2_block=8192, amortized=True,
-        noise_floor=1e-3,
+        noise_floor=1e-3, qx_var_floor=1e-2,
     ),
     # Beyond-reference: minibatch multi-view MRD-SVI (models/mrd_svi.py)
     # at 128x the reference's data scale (reference MRD / c3 is

@@ -132,7 +132,16 @@ def encoder_fill_init(c, y_star, mask):
 def encode(params, y):
     """(mu (B, Q), s (B, Q)): amortized q(x) moments for rows y (B, D).
     `params` may be the raw or constrained dict — encoder leaves are
-    unconstrained and pass through `constrain` untouched."""
+    unconstrained and pass through `constrain` untouched.
+
+    "enc_var_floor" (a static float the model's `constrain` copies from
+    Config.qx_var_floor) adds an additive lower bound on the encoded
+    variance: a valid restriction of the variational family that keeps
+    q(X) from collapsing to near-deterministic at big-N amortized scale
+    — collapsed variances make the batch psi statistics hyper-local, so
+    batch-to-batch whitened-stat variance explodes and the stochastic
+    natural-gradient q(u) recursion diverges (the round-3 c8 failure;
+    measured in experiments/debug_c8.py)."""
     yc = y - params["enc_mean"][None, :]
     mu = jnp.dot(yc, params["enc_wlin"], precision=_HIGHEST) \
         + params["enc_bm"][None, :]
@@ -144,4 +153,8 @@ def encode(params, y):
         )
         mu = mu + jnp.dot(h, params["enc_wm"], precision=_HIGHEST)
         raw_s = raw_s + jnp.dot(h, params["enc_ws"], precision=_HIGHEST)
-    return mu, positive_variational_var(raw_s)
+    s = positive_variational_var(raw_s)
+    floor = params.get("enc_var_floor", 0.0)
+    if floor:
+        s = s + jnp.asarray(floor, s.dtype)
+    return mu, s

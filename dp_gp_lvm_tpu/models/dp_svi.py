@@ -127,6 +127,9 @@ class Config(NamedTuple):
     # noise_floor: prevents encoder-driven noise collapse and the
     # beta~1e6 f32 cancellation it causes in the bound)
     noise_floor: float = 0.0
+    # Additive lower bound on the AMORTIZED q(X) variance (see
+    # svi_gplvm.Config.qx_var_floor — same collapse guard)
+    qx_var_floor: float = 0.0
 
 
 def init_params(rng, Y, config: Config):
@@ -197,9 +200,15 @@ def constrain(params, config: Config | None = None):
     if "qx_mean" in params:          # resident q(X) table
         out["qx_mean"] = params["qx_mean"]
         out["qx_var"] = positive_variational_var(params["raw_qx_var"])
+    has_encoder = False
     for k in params:                 # recognition-network leaves pass
         if k.startswith("enc_"):     # through raw (unconstrained)
             out[k] = params[k]
+            has_encoder = True
+    if has_encoder and config is not None:
+        qx_floor = getattr(config, "qx_var_floor", 0.0)
+        if qx_floor:
+            out["enc_var_floor"] = qx_floor  # static; amortized.encode
     if "raw_alpha" in params:
         out["alpha"] = positive(params["raw_alpha"], 1e-3)
     return out

@@ -73,6 +73,9 @@ class Config(NamedTuple):
     # Lower bound on the per-view noise VARIANCE (see
     # svi_gplvm.Config.noise_floor — same encoder-collapse guard)
     noise_floor: float = 0.0
+    # Additive lower bound on the AMORTIZED q(X) variance (see
+    # svi_gplvm.Config.qx_var_floor — same collapse guard)
+    qx_var_floor: float = 0.0
     # per-view output dims, needed only by the STREAMING step to split
     # the host-fed concatenated row block back into views (the stream
     # pipeline, data/stream.py, serves one mmap'd (N, sum D_v) matrix)
@@ -88,6 +91,7 @@ def _svi_config(config: Config) -> svi.Config:
         fast_chol=config.fast_chol, amortized=config.amortized,
         encoder_hidden=config.encoder_hidden,
         noise_floor=config.noise_floor,
+        qx_var_floor=config.qx_var_floor,
     )
 
 
@@ -257,7 +261,8 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
                           sample_idx=None,
                           mesh=None,
                           streaming: bool = False,
-                          policy: JitterPolicy | None = None):
+                          policy: JitterPolicy | None = None,
+                          qu_trust: float | None = None):
     """One jitted SVI step: hypers/inducing/q(X) (or encoder) by optax,
     each view's q(u^v) by a natural-gradient blend toward the optimum
     its own (N/B)-scaled batch statistics imply — the per-view analogue
@@ -351,14 +356,11 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
         views = []
         for vp, (a, A2, beta) in zip(params["views"], whitened):
             rho_v = rho_t.astype(A2.dtype)
-            m = A2.shape[0]
-            lam_hat = jnp.eye(m, dtype=A2.dtype) + beta * A2
-            h_hat = beta * a
             cv = svi.constrain(vp, config)
-            h, lam = svi._natural_from_params(cv)
-            lam_new = (1.0 - rho_v) * lam + rho_v * lam_hat
-            h_new = (1.0 - rho_v) * h + rho_v * h_hat
-            u_mean, raw_u_scale = svi._params_from_natural(h_new, lam_new)
+            u_mean, raw_u_scale = svi.natgrad_blend_qu(
+                cv["u_mean"], cv["u_scale"], a, A2, beta, rho_v, policy,
+                trust=qu_trust,
+            )
             views.append(svi._guarded_qu(vp, u_mean, raw_u_scale))
         params = {**params, "views": views}
 

@@ -82,6 +82,14 @@ class Config(NamedTuple):
     # on unit-standardized data bounds beta at 1e3 and keeps the
     # encoder's posterior honest.
     noise_floor: float = 0.0
+    # Additive lower bound on the AMORTIZED q(X) variance (resident
+    # tables are untouched). Collapsed encoder variances (~1e-4; the
+    # shared enc_bs head drives one tiny value for every row) make the
+    # batch psi statistics hyper-local and the stochastic natgrad q(u)
+    # recursion divergent at c8 scale — a floor ~1e-2 restores the
+    # smoothing the resident path keeps naturally, and remains a valid
+    # ELBO (a restriction of the variational family).
+    qx_var_floor: float = 0.0
 
 
 def init_params(rng, Y, config: Config):
@@ -133,9 +141,15 @@ def constrain(params, config: Config | None = None):
     if "qx_mean" in params:           # resident q(X) table
         c["qx_mean"] = params["qx_mean"]
         c["qx_var"] = positive_variational_var(params["raw_qx_var"])
+    has_encoder = False
     for k in params:                  # recognition-network leaves pass
         if k.startswith("enc_"):      # through raw (unconstrained)
             c[k] = params[k]
+            has_encoder = True
+    if has_encoder and config is not None:
+        qx_floor = getattr(config, "qx_var_floor", 0.0)
+        if qx_floor:
+            c["enc_var_floor"] = qx_floor   # static; amortized.encode
     return c
 
 
@@ -532,6 +546,99 @@ def _scaled_batch_stats(c, y_b, idx, n_total, config: Config):
     return stats, kl_x
 
 
+def natgrad_blend_qu(u_mean, ls, a, A2, beta, rho,
+                     policy: JitterPolicy | None = None,
+                     trust: float | None = None):
+    r"""One natural-gradient step of length rho on the whitened q(u),
+    computed WITHOUT ever forming the natural parameters.
+
+    The textbook update blends naturals toward the batch optimum,
+
+        Lambda' = (1-rho) Lambda + rho Bhat,   Bhat = I + beta A2
+        h'      = (1-rho) h      + rho beta a,
+
+    but Lambda = S^{-1} scales with beta * N (the posterior precision of
+    well-observed directions), so at big-N SVI scale cond(Lambda)
+    exceeds f32's ~1e7 Cholesky limit and the naive
+    naturals -> blend -> invert chain (round-3 c8) fails or returns
+    garbage, poisoning q(u) for the rest of the run.
+
+    Identical algebra, conditioned by sandwiching with the current
+    factor ls (S = ls ls^T, so ls^T Lambda ls = I):
+
+        C   = ls^T Lambda' ls = (1-rho) I + rho ls^T Bhat ls
+        S'  = Lambda'^{-1}    = ls C^{-1} ls^T
+        m'  = S' h' = m + rho ls C^{-1} ls^T (beta a - Bhat m)
+
+    (the m' line uses (1-rho) Lambda = Lambda' - rho Bhat, so
+    S' h' = m + rho S' (beta a - Bhat m) — an INCREMMENT form whose
+    every intermediate is bounded by the batch statistics: no ls^{-1},
+    no 1/s-scale amplitudes, and the update's rounding error scales
+    with the natural-gradient increment, vanishing at the fixed point
+    beta a = Bhat m instead of persisting at state scale.)
+
+    Near the fixed point ls^T Bhat ls ~ I, so cond(C) ~ 1 regardless of
+    beta * N; every op is a product with f32-representable matrices or
+    a solve against the well-conditioned C. S' is re-triangularized
+    through the QR of X = Lc^{-1} ls^T (S' = X^T X = R^T R) —
+    backward-stable at any conditioning, unlike a direct Cholesky of
+    the formed S'.
+
+    trust (None = exact natural gradient, the default — every
+    exactness oracle runs with None): a trust region against
+    pathological batches, needed by the AMORTIZED big-N runs where a
+    single batch whose psi mass hits K_uu's near-null directions emits
+    a whitened target 1e4 x the steady state. A precision-domain EMA is
+    brutally asymmetric — one such batch shrinks S by that same factor
+    instantly while recovery takes ~1/rho steps, and the m-recursion
+    diverges meanwhile (measured: experiments/debug_c8.py). The
+    sandwiched target G = ls^T Bhat ls is ~I at the fixed point, so a
+    static cap is meaningful there (unlike on Bhat itself, whose scale
+    is beta*N): G is scaled to RMS-eigenvalue <= trust, and the m
+    increment to ||dm|| <= trust * (1 + ||m||).
+
+    Returns (u_mean', raw_u_scale') ready to store.
+    """
+    policy = policy or JitterPolicy()
+    m = ls.shape[0]
+    eye = jnp.eye(m, dtype=ls.dtype)
+    bhat_ls = ls + beta * jnp.dot(A2, ls, precision=_HIGHEST)   # Bhat ls
+    G = jnp.dot(ls.T, bhat_ls, precision=_HIGHEST)
+    if trust is not None:
+        # RMS eigenvalue scale: ||G||_F / sqrt(M) (= 1 at G = I)
+        g_rms = jnp.sqrt(jnp.sum(G * G) / m)
+        G = G * jnp.minimum(1.0, trust / jnp.maximum(g_rms, 1e-30))
+    C = (1.0 - rho) * eye + rho * G
+    C = 0.5 * (C + C.T)
+    # C is PD with eigenvalues >= 1 - rho by construction, so the
+    # unjittered factor preserves the exact natural-gradient algebra;
+    # the jittered retry only fires on a cold-start C (ls far from the
+    # fixed point) whose f32 conditioning breaks the plain Cholesky.
+    Lc0 = jnp.linalg.cholesky(C)
+    Lc1, _ = safe_cholesky(C, policy)
+    Lc = jnp.where(jnp.all(jnp.isfinite(Lc0)), Lc0, Lc1)
+    X = tri_solve(Lc, ls.T)                       # Lc^{-1} ls^T
+    r = jnp.linalg.qr(X, mode="r")                # S' = X^T X = r^T r
+    sign = jnp.sign(jnp.diagonal(r))
+    sign = jnp.where(sign == 0, jnp.ones_like(sign), sign)
+    ls_new = (r * sign[:, None]).T                # lower-tri, diag > 0
+    # natural-gradient residual beta a - Bhat m, pushed through S'
+    resid = beta * a - u_mean - beta * jnp.dot(
+        A2, u_mean, precision=_HIGHEST
+    )
+    v = jnp.dot(ls.T, resid, precision=_HIGHEST)
+    cinv_v = tri_solve(Lc, tri_solve(Lc, v), trans=True)
+    dm = rho * jnp.dot(ls, cinv_v, precision=_HIGHEST)
+    if trust is not None:
+        dm_norm = jnp.sqrt(jnp.sum(dm * dm))
+        cap = trust * (1.0 + jnp.sqrt(jnp.sum(u_mean * u_mean)))
+        dm = dm * jnp.minimum(1.0, cap / jnp.maximum(dm_norm, 1e-30))
+    u_mean_new = u_mean + dm
+    diag = jnp.diagonal(ls_new)
+    raw_new = jnp.tril(ls_new, -1) + jnp.diag(positive_inverse(diag))
+    return u_mean_new, raw_new
+
+
 def _guarded_qu(params, u_mean, raw_u_scale):
     """Keep the previous q(u) when a blend produced non-finite values
     (an ill-conditioned batch Lambda can NaN the unjittered Cholesky in
@@ -554,7 +661,8 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
                           sample_idx=None,
                           mesh=None,
                           streaming: bool = False,
-                          policy: JitterPolicy | None = None):
+                          policy: JitterPolicy | None = None,
+                          qu_trust: float | None = None):
     """SVI step with Hoffman-style stochastic NATURAL-gradient q(u)
     updates (the canonical accelerator for this bound): hypers, inducing
     inputs, and q(X) update by gradient (optax; q(X) itself can take
@@ -662,13 +770,10 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
             a, A2, beta = aux
             c = constrain(params, config)
         rho_t = rho_at(state.step).astype(A2.dtype)
-        m = A2.shape[0]
-        lam_hat = jnp.eye(m, dtype=A2.dtype) + beta * A2
-        h_hat = beta * a
-        h, lam = _natural_from_params(c)
-        lam_new = (1.0 - rho_t) * lam + rho_t * lam_hat
-        h_new = (1.0 - rho_t) * h + rho_t * h_hat
-        u_mean, raw_u_scale = _params_from_natural(h_new, lam_new)
+        u_mean, raw_u_scale = natgrad_blend_qu(
+            c["u_mean"], c["u_scale"], a, A2, beta, rho_t, policy,
+            trust=qu_trust,
+        )
         params = _guarded_qu(params, u_mean, raw_u_scale)
 
         return (

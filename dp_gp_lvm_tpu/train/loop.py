@@ -82,6 +82,7 @@ def gp_optimizer(
     decay_steps: int | None = None,
     ngd_lr: float | None = None,
     freeze: frozenset = frozenset(),
+    slow: frozenset = frozenset(),
 ) -> optax.GradientTransformation:
     """Stability-tuned optimizer for the GP-LVM family.
 
@@ -121,7 +122,11 @@ def gp_optimizer(
             # phi move, so per-atom residual levels stay static while
             # assignments form)
             return "frozen"
-        if k in HYPER_PARAM_NAMES:
+        if k in HYPER_PARAM_NAMES or k in slow:
+            # `slow`: extra leaves at the hyper rate — e.g. "z" in
+            # amortized big-N SVI, where full-rate inducing points
+            # cluster (zmin 1.2 -> 0.16 measured) and drive
+            # cond(K_uu) past the f32 whitening limit
             return "hyper"
         if ngd_lr is not None and k in NGD_NAMES:
             return "ngd"

@@ -231,7 +231,8 @@ def main():
                                 batch=args.batch or 1024,
                                 psi2_block=cfg.psi2_block,
                                 amortized=cfg.amortized,
-                                noise_floor=cfg.noise_floor)
+                                noise_floor=cfg.noise_floor,
+                                qx_var_floor=cfg.qx_var_floor)
         if cfg.missing_fraction > 0:
             # same clean protocol as config 5: strided interpolation
             # holdout, train-only standardization
@@ -251,11 +252,15 @@ def main():
         init_fn = lambda k: svi_gplvm.init_params(k, data[0], mcfg)
         params = init_fn(rng)
         loss_fn = None          # stochastic: custom minibatch loop below
+        from dp_gp_lvm_tpu.models import eval_f64 as _eval_f64
+
+        # final full-N ELBO in HOST float64 (models/eval_f64.py): the
+        # round-3 c8 artifact reported +4.56e8 from a single-shot f32
+        # reduction over N=131072 — gating metrics must not inherit the
+        # training path's precision
         terms_fn = lambda p: {
-            "elbo": svi_gplvm.elbo(p, data[0], mcfg),
-            # trained noise variance: the collapse diagnostic (an elbo
-            # at +1e8 with noise at its floor is f32 cancellation, not
-            # a good fit — see Config.noise_floor)
+            "elbo": _eval_f64.elbo_f64(p, data[0], mcfg),
+            # trained noise variance: the collapse diagnostic
             "noise": svi_gplvm.constrain(p, mcfg)["noise"],
         }
     elif cfg.model == "mrd_svi":
@@ -267,6 +272,7 @@ def main():
                               psi2_block=cfg.psi2_block,
                               amortized=cfg.amortized,
                               noise_floor=cfg.noise_floor,
+                              qx_var_floor=cfg.qx_var_floor,
                               view_dims=tuple(cfg.views))
         init_fn = lambda k: mrd_svi.init_params(k, list(data), mcfg)
         params = init_fn(rng)
@@ -289,7 +295,8 @@ def main():
                              psi2_block=cfg.psi2_block,
                              ard_init=1.0 / cfg.q,
                              amortized=cfg.amortized,
-                             noise_floor=cfg.noise_floor)
+                             noise_floor=cfg.noise_floor,
+                             qx_var_floor=cfg.qx_var_floor)
         init_fn = lambda k: dp_svi.init_params(k, data[0], mcfg)
         params = init_fn(rng)
         loss_fn = None          # stochastic: custom minibatch loop below
@@ -325,8 +332,15 @@ def main():
     from dp_gp_lvm_tpu.train.loop import gp_optimizer
 
     ngd_lr = args.ngd_lr if args.ngd_lr is not None else cfg.ngd_lr
+    # Amortized mode: full-rate inducing points cluster under the
+    # encoder-compressed latent cloud and drive cond(K_uu) past the f32
+    # whitening limit (measured in experiments/debug_c8.py: zmin
+    # 1.2 -> 0.16, lambda_min 0.32 -> 1e-4, then the natgrad q(u)
+    # recursion diverges). Z at the hyper rate keeps K_uu conditioned
+    # AND out-trains frozen Z (-3.4e5 vs -5.3e5 at equal steps).
+    slow = frozenset({"z"}) if cfg.amortized else frozenset()
     optimizer = gp_optimizer(params, lr=cfg.lr, decay_steps=steps,
-                             ngd_lr=ngd_lr)
+                             ngd_lr=ngd_lr, slow=slow)
 
     if cfg.model in ("svi_gplvm", "dp_svi", "mrd_svi"):
         # stochastic minibatch loop: CHUNK steps per dispatch via
@@ -445,11 +459,13 @@ def main():
                 nat_step = mrd_svi.make_svi_natgrad_step(
                     mcfg, n_total, optimizer, rho=0.2, mesh=mesh,
                     streaming=args.stream,
+                    qu_trust=100.0 if cfg.amortized else None,
                 )
             else:
                 nat_step = svi_gplvm.make_svi_natgrad_step(
                     mcfg, n_total, optimizer, rho=0.2, mesh=mesh,
                     streaming=args.stream,
+                    qu_trust=100.0 if cfg.amortized else None,
                 )
             rng_run, r1 = jax.random.split(rng_run)
             if args.stream:

@@ -1,6 +1,6 @@
 #!/bin/bash
-# TPU artifact-refresh queue for the work blocked on the axon tunnel
-# outage (down since 2026-08-17). Run whenever the tunnel is back:
+# TPU artifact-refresh queue. Run whenever full-scale artifacts need
+# regenerating (post-fix, post-recalibration, or after a tunnel outage):
 #
 #     bash experiments/tpu_refresh.sh [--probe-only]
 #
@@ -9,6 +9,12 @@
 # unguarded), then runs the pending jobs in priority order, each with
 # its own timeout, logging to results/refresh/. Jobs are independent:
 # a failure moves on to the next and is reported in the summary.
+#
+# GATE CONTRACT (round-4 verdict item 4): every config this script
+# refreshes runs with --check, and the script exits NONZERO if any job
+# — including any gate — failed. "Refreshed but ungated" artifacts can
+# no longer be produced by this path; tests/test_golden.py additionally
+# re-evaluates every committed results/<cfg>/result.json in CI.
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp
@@ -37,33 +43,34 @@ run_job() {  # name timeout_s command...
   tail -3 "$LOGDIR/$name.log"
 }
 
-# 1. Headline bench — now also reports the production (NGD) step time.
+# 1. Headline bench — also reports the production (NGD) step time.
 run_job bench 1800 python bench.py
 grep -h '"metric"' "$LOGDIR/bench.log" | tail -1 > "$LOGDIR/bench_line.json" || true
 
-# 2. c8_amortized_svi first full-scale run (gates in core/config.py are
-#    UNCALIBRATED floors — run WITHOUT --check, then calibrate CHECKS
-#    from results/c8/result.json and re-run with --check).
-run_job c8 5400 python experiments/run.py c8_amortized_svi --out results/c8
+# 2. c8_amortized_svi full-scale, post-round-4 fixes (sandwiched natgrad
+#    blend, qx_var_floor, slow-Z, f64 final ELBO). Gates enforced.
+run_job c8 7200 python experiments/run.py c8_amortized_svi --check --out results/c8
 
-# 3. Serving latency refresh including the new encoder-imputer rows.
+# 3. c9_mrd_svi_bigN full-scale, post-round-4 fixes. Gates enforced
+#    (throughput + the new relevance-signature gate).
+run_job c9 7200 python experiments/run.py c9_mrd_svi_bigN --check --out results/c9
+
+# 4/5. big-N single-family configs: gate re-confirmation.
+run_job c6_check 5400 python experiments/run.py c6_svi_bigN --check --out results/c6_recheck
+run_job c7_check 9000 python experiments/run.py c7_dp_svi --check --out results/c7_recheck
+
+# 6. Serving latency refresh including the encoder-imputer rows.
 run_job serving 3600 python experiments/serving_bench.py --out results/serving_bench.json
 
-# 4. c9_mrd_svi_bigN first full-scale run (gates are UNCALIBRATED
-#    floors — calibrate CHECKS from results/c9/result.json, then re-run
-#    with --check).
-run_job c9 5400 python experiments/run.py c9_mrd_svi_bigN --out results/c9
-
-# 5/6. gate re-confirmation for the big-N configs whose trajectories
-#    shifted with the resume-aware rng derivation (drive now folds the
-#    chunk step index instead of sequentially splitting) — headroom
-#    should absorb it; verify on-chip.
-run_job c6_check 5400 python experiments/run.py c6_svi_bigN --check --out results/c6_recheck
-run_job c7_check 7200 python experiments/run.py c7_dp_svi --check --out results/c7_recheck
-
 echo "== summary =="
-for k in "${!STATUS[@]}"; do echo "$k: ${STATUS[$k]}"; done
-echo "next: python experiments/calibrate_checks.py results/c8/result.json \\"
-echo "          results/c9/result.json   # suggested tightened CHECKS"
-echo "      paste (after a sanity look) into core/config.py CHECKS,"
-echo "      then re-run both configs with --check"
+rc=0
+for k in "${!STATUS[@]}"; do
+  echo "$k: ${STATUS[$k]}"
+  [ "${STATUS[$k]}" != ok ] && rc=1
+done
+if [ "$rc" -ne 0 ]; then
+  echo "REFRESH FAILED: at least one job or gate failed (see $LOGDIR/*.log)"
+  echo "do NOT commit the failing artifacts; fix or recalibrate"
+  echo "(experiments/calibrate_checks.py) and re-run."
+fi
+exit "$rc"

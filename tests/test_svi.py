@@ -352,3 +352,137 @@ def test_noise_floor_amortized_trains_above_floor():
     c = svi_gplvm.constrain(state.params, cfg)
     assert float(c["noise"]) >= 1e-3
     assert np.isfinite(float(svi_gplvm.elbo(state.params, Y, cfg)))
+
+
+def _naive_natural_blend(u_mean, ls, a, A2, beta, rho):
+    """The textbook blend through explicit naturals (the round-3
+    implementation) — the f64 oracle for natgrad_blend_qu."""
+    m = ls.shape[0]
+    eye = jnp.eye(m, dtype=ls.dtype)
+    c = {"u_mean": u_mean, "u_scale": ls}
+    h, lam = svi_gplvm._natural_from_params(c)
+    lam_new = (1.0 - rho) * lam + rho * (eye + beta * A2)
+    h_new = (1.0 - rho) * h + rho * beta * a
+    return svi_gplvm._params_from_natural(h_new, lam_new)
+
+
+def _random_blend_inputs(key, m, d, kappa, dtype):
+    """q(u) state + batch whitened stats whose precision target
+    I + beta*A2 has condition number ~kappa."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    # current S = ls ls^T: the fixed point of an earlier blend at the
+    # same scale (diag decaying from 1 to 1/kappa)
+    lam_eigs = jnp.logspace(0, jnp.log10(kappa), m).astype(dtype)
+    q_rot, _ = jnp.linalg.qr(jax.random.normal(k1, (m, m), dtype))
+    A2 = (q_rot * ((lam_eigs - 1.0) / 10.0)) @ q_rot.T   # beta=10 below
+    A2 = 0.5 * (A2 + A2.T)
+    beta = jnp.asarray(10.0, dtype)
+    s_cur = (q_rot / (1.0 + 0.7 * (lam_eigs - 1.0))) @ q_rot.T
+    ls = jnp.linalg.cholesky(0.5 * (s_cur + s_cur.T))
+    u_mean = jax.random.normal(k3, (m, d), dtype)
+    a = 50.0 * jax.random.normal(k4, (m, d), dtype)
+    return u_mean, ls, a, A2, beta
+
+
+def test_natgrad_blend_qu_matches_naive_naturals_f64():
+    """natgrad_blend_qu is the SAME natural-gradient update as the
+    explicit-naturals blend — exact algebra, checked in f64 at a
+    moderate condition number where the naive path is accurate."""
+    u_mean, ls, a, A2, beta = _random_blend_inputs(
+        jax.random.PRNGKey(0), m=12, d=4, kappa=1e4, dtype=jnp.float64
+    )
+    rho = jnp.asarray(0.2, jnp.float64)
+    m_new, raw_new = svi_gplvm.natgrad_blend_qu(u_mean, ls, a, A2, beta,
+                                                rho)
+    m_ref, raw_ref = _naive_natural_blend(u_mean, ls, a, A2, beta, rho)
+    np.testing.assert_allclose(np.asarray(m_new), np.asarray(m_ref),
+                               rtol=1e-9, atol=1e-9)
+    # compare the S they imply (raw parameterizations may differ by
+    # sign conventions; S is the invariant)
+    from dp_gp_lvm_tpu.core.transforms import positive
+
+    def s_of(raw):
+        l = jnp.tril(raw, -1) + jnp.diag(positive(jnp.diagonal(raw)))
+        return l @ l.T
+
+    np.testing.assert_allclose(np.asarray(s_of(raw_new)),
+                               np.asarray(s_of(raw_ref)),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_natgrad_blend_qu_recovers_from_pathological_state_f32():
+    """The committed-c8 freeze, reduced to one call: after a spike the
+    stored q(u) has S directions ~1e-12, so cond(Lambda) ~ 1e12 and the
+    explicit-naturals blend's f32 chol(Lambda) is non-finite EVERY step
+    — the guard then pins q(u) to the pathological state for the rest
+    of the run. The sandwiched blend never forms Lambda (only solves
+    against ls), so the same call stays finite, matches the f64 oracle,
+    and pulls q(u) back toward the healthy batch optimum."""
+    m, d = 24, 3
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+
+    # generate ONE f64 input set; the f32 path gets the cast of the
+    # same values (drawing per-dtype would compare different problems)
+    diag = jnp.logspace(0, -6, m).astype(jnp.float64)
+    ls64 = jnp.diag(diag) + 0.1 * jnp.tril(
+        jax.random.normal(k1, (m, m), jnp.float64), -1
+    ) * diag[None, :]
+    x = jax.random.normal(k2, (4 * m, m), jnp.float64)
+    A2_64 = (x.T @ x) * (1e3 / (4 * m))     # beta*A2 ~ 1e4, PD in f32
+    A2_64 = 0.5 * (A2_64 + A2_64.T)
+    beta64 = jnp.asarray(10.0, jnp.float64)
+    u64 = jax.random.normal(k3, (m, d), jnp.float64)
+    a64 = 50.0 * jax.random.normal(jax.random.fold_in(k3, 1),
+                                   (m, d), jnp.float64)
+    inputs64 = (u64, ls64, a64, A2_64, beta64)
+    inputs32 = tuple(v.astype(jnp.float32) for v in inputs64)
+
+    def make(dtype):
+        return inputs64 if dtype == jnp.float64 else inputs32
+
+    m_oracle, raw_oracle = svi_gplvm.natgrad_blend_qu(
+        *make(jnp.float64), jnp.asarray(0.2, jnp.float64)
+    )
+    m_new, raw_new = svi_gplvm.natgrad_blend_qu(
+        *make(jnp.float32), jnp.asarray(0.2, jnp.float32)
+    )
+    assert bool(jnp.all(jnp.isfinite(m_new)))
+    assert bool(jnp.all(jnp.isfinite(raw_new)))
+    np.testing.assert_allclose(np.asarray(m_new),
+                               np.asarray(m_oracle, np.float32),
+                               rtol=1e-3, atol=1e-3)
+    # the naive path at the same f32 inputs is non-finite (this is the
+    # freeze: _guarded_qu would reject it and keep the bad state)
+    m_naive, raw_naive = _naive_natural_blend(
+        *make(jnp.float32), jnp.asarray(0.2, jnp.float32)
+    )
+    assert not bool(jnp.all(jnp.isfinite(m_naive))
+                    & jnp.all(jnp.isfinite(raw_naive))), \
+        "naive blend unexpectedly fine - make the state more extreme"
+
+
+def test_elbo_f64_matches_jax_elbo_resident_and_amortized():
+    """The numpy/f64 host evaluator (models/eval_f64.py) reproduces
+    svi_gplvm.elbo on the f64 CPU path in BOTH q(X) modes — the
+    independent oracle that re-derives constrain, the psi statistics,
+    and the whitened bound from the math."""
+    from dp_gp_lvm_tpu.models import eval_f64
+
+    Y, _ = synthetic.toy_gplvm(jax.random.PRNGKey(5), n=96, d=6,
+                               q_true=2, q_total=3, dtype=jnp.float64)
+    for kw in (
+        {},                                    # resident
+        {"amortized": True, "encoder_hidden": 8,
+         "noise_floor": 1e-3, "qx_var_floor": 1e-2},
+    ):
+        cfg = svi_gplvm.Config(num_latent=3, num_inducing=10, batch=32,
+                               **kw)
+        params = svi_gplvm.init_params(jax.random.PRNGKey(6), Y, cfg)
+        # move params off the init manifold so the check is not vacuous
+        params = jax.tree_util.tree_map(
+            lambda v: v + 0.01 * jnp.sin(jnp.arange(v.size,
+                                                    dtype=v.dtype)
+                                         ).reshape(v.shape), params)
+        ref = float(svi_gplvm.elbo(params, Y, cfg))
+        got = eval_f64.elbo_f64(params, Y, cfg, chunk=17)
+        np.testing.assert_allclose(got, ref, rtol=5e-5)
