@@ -201,6 +201,10 @@ def main():
         "tflops_achieved": round(util["tflops_achieved"], 3),
         "mfu_pct_vs_f32_peak": round(util["mfu_pct"], 2),
         "roofline_pct": round(util["roofline_pct"], 1),
+        # vs the DEFENDED floor for this row's M=64 tiling: minor-dim
+        # lane padding doubles the geometric time and re-tiling cannot
+        # recover it (perf/flops.py lane_pad; packing_analysis.json)
+        "padded_roofline_pct": round(util["padded_roofline_pct"], 1),
         "binding_floor": util["binding_floor"],
     }))
 

@@ -196,6 +196,12 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
         # (measured 0.645 vs true-latent oracle 0.485 on this protocol)
         "cross_view_mse_ratio": ("<=", 0.70),
         "cross_view_pll_per_dim": (">=", -1.3),
+        # shared/private structure gate (round-4 verdict weak-2): the
+        # weakest per-view ARD weight (the other view's private dim;
+        # generator truth 0) over the mean shared weight, max over
+        # views. Measured 0.0016 on the committed artifact; flat
+        # relevance = 1.0.
+        "ard_cross_private_ratio": ("<=", 0.05),
     },
     # calibrated on the 2026-08-17 NGD run: elbo +10075
     "c4_dp_mocap": {
@@ -259,6 +265,10 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
         "cross_view_mse_ratio": ("<=", 0.85),
         "cross_view_pll_per_dim": (">=", -1.5),
         "rows_per_sec": (">=", 80000.0),
+        # structure gate (round-4 verdict weak-2; see c3's). First-run
+        # floor: flat relevance (the round-3 failure, ratio 1.0) must
+        # FAIL; tighten from the first gate-passing TPU artifact.
+        "ard_cross_private_ratio": ("<=", 0.5),
     },
 }
 

@@ -1,0 +1,157 @@
+"""Round-4 (verdict weak-2): why does c9 learn NO shared/private ARD
+signature, and what fixes it?
+
+Hypothesis: the RESIDENT q(X) table is under-trained at big N — c9's
+4000 steps x batch 1024 / N 131072 give each row ~31 Adam updates, so
+the latents never leave PCA init (which mixes shared and private
+directions of the concatenated views), and per-view ARD sees every
+latent dim carrying signal -> flat relevance (the committed round-3
+artifact: all weights ~0.63). The AMORTIZED encoder shares its
+parameters across rows — every step improves the latent map for ALL N
+rows — so structure can form in few epochs.
+
+This script trains mrd_svi on two_view_big data at reduced scale under
+a ladder of variants and reports each one's learned relevance signature:
+
+    sig_v = ard_v[other view's private dim] / mean(ard_v[shared dims])
+
+(the generator's truth: 0 exactly; flat relevance: 1). Variants:
+  resident        — the round-3 c9 recipe as committed
+  resident_longer — same, 4x steps (tests the under-training hypothesis
+                    directly: more updates/row, same recipe)
+  amortized       — encoder q(X) + the round-4 stability kit
+                    (qx_var_floor, noise_floor, slow-Z, qu_trust)
+
+Writes results/c9_structure.json; the winner becomes the c9 config and
+the relevance-signature gate (CHECKS) derives from its headroom.
+
+Usage: python experiments/c9_structure.py [--n 8192] [--steps 2000]
+(CPU-runnable at the default scale; the conclusions transfer because
+the updates-per-row ratio, not N itself, is the controlled variable.)
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dp_gp_lvm_tpu.data import synthetic
+from dp_gp_lvm_tpu.models import mrd_svi
+from dp_gp_lvm_tpu.train.loop import gp_optimizer, init_state
+
+
+def signature(ard):
+    """(V, Q) relevance -> per-view cross-private ratio (lower=better).
+    Latent dims are ranked per view: the two strongest are 'shared', the
+    weakest is the candidate pruned (cross-private) dim."""
+    out = []
+    for v in range(ard.shape[0]):
+        w = np.sort(np.asarray(ard[v]))[::-1]
+        out.append(float(w[-1] / w[:2].mean()))
+    return out
+
+
+def run_variant(name, Ys, n_total, steps, batch, q, m, lr, amortized,
+                chunk=100):
+    cfg = mrd_svi.Config(
+        num_latent=q, num_inducing=m, num_views=len(Ys), batch=batch,
+        psi2_block=8192, amortized=amortized,
+        noise_floor=1e-3 if amortized else 0.0,
+        qx_var_floor=1e-2 if amortized else 0.0,
+    )
+    params = mrd_svi.init_params(jax.random.PRNGKey(2), list(Ys), cfg)
+    slow = frozenset({"z"}) if amortized else frozenset()
+    opt = gp_optimizer(params, lr=lr, decay_steps=steps, slow=slow)
+    step = mrd_svi.make_svi_natgrad_step(
+        cfg, n_total, opt, rho=0.2,
+        qu_trust=100.0 if amortized else None,
+    )
+    state = init_state(params, opt)
+    rng_run = jax.random.PRNGKey(100)
+
+    def one(st, step_rng):
+        st, metrics = step(st, step_rng, Ys)
+        return st, metrics["loss"]
+
+    @jax.jit
+    def multi(st, start):
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng_run, i))(
+            start + jnp.arange(chunk)
+        )
+        return jax.lax.scan(one, st, keys)
+
+    t0 = time.time()
+    done = 0
+    last = None
+    while done < steps:
+        state, losses = multi(state, jnp.int32(done))
+        done += chunk
+        last = float(losses[-1])
+    jax.block_until_ready(state.params["views"][0]["u_mean"])
+    ard = np.asarray(mrd_svi.ard_relevance(state.params))
+    sig = signature(ard)
+    row = {
+        "steps": steps, "updates_per_row": steps * batch / n_total,
+        "amortized": amortized, "final_loss": last,
+        "ard_relevance": np.round(ard, 4).tolist(),
+        "cross_private_ratio": [round(s, 4) for s in sig],
+        "seconds": round(time.time() - t0, 1),
+    }
+    print(f"{name:16s} ratio={sig} ard={np.round(ard, 3).tolist()}",
+          flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8192)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--m", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--out", default="results/c9_structure.json")
+    ap.add_argument("--variants", default="resident,resident_longer,amortized")
+    args = ap.parse_args()
+
+    # same generator family/regime as c9 (q_shared=2, q_private=1, w=0.5)
+    Y1, Y2, _ = synthetic.two_view_big(
+        jax.random.PRNGKey(42), n=args.n, d1=32, d2=32,
+        dtype=jnp.float32,
+    )
+    Ys = (Y1, Y2)
+    q = 4
+
+    rows = {}
+    for v in args.variants.split(","):
+        if v == "resident":
+            rows[v] = run_variant(v, Ys, args.n, args.steps, args.batch,
+                                  q, args.m, args.lr, amortized=False)
+        elif v == "resident_longer":
+            rows[v] = run_variant(v, Ys, args.n, 4 * args.steps,
+                                  args.batch, q, args.m, args.lr,
+                                  amortized=False)
+        elif v == "amortized":
+            rows[v] = run_variant(v, Ys, args.n, args.steps, args.batch,
+                                  q, args.m, args.lr, amortized=True)
+        else:
+            raise SystemExit(f"unknown variant {v}")
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"n": args.n, "batch": args.batch,
+                   "generator": "two_view_big(q_shared=2, q_private=1, w=0.5)",
+                   "true_cross_private_ratio": 0.0,
+                   "device": jax.devices()[0].platform,
+                   "rows": rows}, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

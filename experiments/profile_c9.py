@@ -1,0 +1,166 @@
+"""Round-4 (verdict weak-2): attribute c9_mrd_svi_bigN's 22 ms/step.
+
+The bound math says one c9 step (V=2 views, B=1024, M=32, Q=4,
+D_v=32) costs LESS than one c6 step (V=1, B=1024, M=64, Q=8, D=32):
+per view the psi-statistics work is O(B M Q + B M^2) and the q(u)
+algebra O(M^3 + M^2 D), all smaller at c9's M=32 — yet the committed
+round-3 artifact measured 22.1 ms/step vs c6's 3.27. This script times
+the real training dispatch (the SAME chunked lax.scan drive run.py
+uses) for a ladder of ablations between the two configs, so the
+discrepancy lands on one component.
+
+Timing discipline (CLAUDE.md): state chains across scan steps and
+across chunks (donated carry, params evolve), so no dispatch repeats
+and the axon relay's content cache cannot serve any iteration.
+
+Usage: python experiments/profile_c9.py [--steps 500] [--out FILE]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import jax
+import jax.numpy as jnp
+
+from dp_gp_lvm_tpu.data import synthetic
+from dp_gp_lvm_tpu.models import mrd_svi, svi_gplvm
+from dp_gp_lvm_tpu.train.loop import gp_optimizer, init_state
+
+N = 131072
+B = 1024
+
+
+def timed_drive(nat_step, state, data, chunk=250, n_chunks=3):
+    """run.py's drive loop, reduced: per-step s over n_chunks
+    post-compile chunks of `chunk` scan steps."""
+    rng_run = jax.random.PRNGKey(0)
+
+    def one(st, step_rng):
+        st, metrics = nat_step(st, step_rng, data)
+        return st, metrics["loss"]
+
+    @jax.jit
+    def multi(st, start):
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng_run, i))(
+            start + jnp.arange(chunk)
+        )
+        return jax.lax.scan(one, st, keys)
+
+    state, losses = multi(state, jnp.int32(0))   # compile chunk
+    jax.block_until_ready(losses)
+    t0 = time.time()
+    for k in range(n_chunks):
+        state, losses = multi(state, jnp.int32((k + 1) * chunk))
+        jax.block_until_ready(losses)
+    per_step = (time.time() - t0) / (n_chunks * chunk)
+    return per_step, float(losses[-1])
+
+
+def mrd_case(m, q, view_dims, steps_cfg=None, **kw):
+    cfg = mrd_svi.Config(num_latent=q, num_inducing=m,
+                         num_views=len(view_dims), batch=B,
+                         psi2_block=8192, **kw)
+    Ys = []
+    rng = jax.random.PRNGKey(1)
+    for v, d_v in enumerate(view_dims):
+        Ys.append(jax.random.normal(jax.random.fold_in(rng, v),
+                                    (N, d_v), jnp.float32))
+    params = mrd_svi.init_params(jax.random.PRNGKey(2), Ys, cfg)
+    opt = gp_optimizer(params, lr=3e-3)
+    state = init_state(params, opt)
+    return cfg, tuple(Ys), params, opt, state
+
+
+def svi_case(m, q, d):
+    cfg = svi_gplvm.Config(num_latent=q, num_inducing=m, batch=B,
+                           psi2_block=8192)
+    Y = jax.random.normal(jax.random.PRNGKey(1), (N, d), jnp.float32)
+    params = svi_gplvm.init_params(jax.random.PRNGKey(2), Y, cfg)
+    opt = gp_optimizer(params, lr=3e-3)
+    state = init_state(params, opt)
+    return cfg, Y, params, opt, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=250)
+    ap.add_argument("--out", default="results/c9_profile.json")
+    args = ap.parse_args()
+
+    rows = {}
+
+    def record(name, per_step, note):
+        rows[name] = {"ms_per_step": per_step * 1e3, "note": note}
+        print(f"{name:34s} {per_step * 1e3:8.3f} ms/step  ({note})",
+              flush=True)
+
+    # --- anchor: c6 shapes (single view, M=64, Q=8, D=32) -------------
+    cfg, Y, params, opt, state = svi_case(64, 8, 32)
+    step = svi_gplvm.make_svi_natgrad_step(cfg, N, opt, rho=0.2)
+    ps, _ = timed_drive(step, state, Y, args.chunk)
+    record("c6_shapes_svi", ps, "V=1 M=64 Q=8 D=32")
+
+    # --- c9 exact config ----------------------------------------------
+    cfg, Ys, params, opt, state = mrd_case(32, 4, (32, 32))
+    step = mrd_svi.make_svi_natgrad_step(cfg, N, opt, rho=0.2)
+    ps, _ = timed_drive(step, state, Ys, args.chunk)
+    record("c9_full", ps, "V=2 M=32 Q=4 D=2x32")
+
+    # --- c9 step WITHOUT the natgrad blend (optax-only q(u)) ----------
+    import optax
+
+    from dp_gp_lvm_tpu.train.loop import TrainState
+
+    def make_plain_step(cfg, n_total, optimizer):
+        def step(st, rng, Ys):
+            idx = jax.random.randint(rng, (cfg.batch,), 0, n_total)
+            y_b = [Yv[idx] for Yv in Ys]
+            loss_v, grads = jax.value_and_grad(
+                lambda p: mrd_svi.loss_minibatch(p, y_b, idx, n_total,
+                                                 cfg)
+            )(st.params)
+            updates, opt_state = optimizer.update(grads, st.opt_state,
+                                                  st.params)
+            params = optax.apply_updates(st.params, updates)
+            return (TrainState(params, opt_state, st.step + 1),
+                    {"loss": loss_v})
+        return jax.jit(step)
+
+    cfg, Ys, params, opt, state = mrd_case(32, 4, (32, 32))
+    ps, _ = timed_drive(make_plain_step(cfg, N, opt), state, Ys,
+                        args.chunk)
+    record("c9_no_natgrad", ps, "optax-only q(u), same bound")
+
+    # --- single-view control at c9's M/Q with the views CONCATENATED --
+    cfg, Y, params, opt, state = svi_case(32, 4, 64)
+    step = svi_gplvm.make_svi_natgrad_step(cfg, N, opt, rho=0.2)
+    ps, _ = timed_drive(step, state, Y, args.chunk)
+    record("c9_shapes_one_view", ps, "V=1 M=32 Q=4 D=64 (concat)")
+
+    # --- c9 with ONE view only (isolate the per-view loop factor) -----
+    cfg, Ys, params, opt, state = mrd_case(32, 4, (32,))
+    step = mrd_svi.make_svi_natgrad_step(cfg, N, opt, rho=0.2)
+    ps, _ = timed_drive(step, state, Ys, args.chunk)
+    record("c9_one_view", ps, "V=1 M=32 Q=4 D=32 via mrd_svi")
+
+    # --- c9 at c6's M (is it M-dependent overhead?) --------------------
+    cfg, Ys, params, opt, state = mrd_case(64, 4, (32, 32))
+    step = mrd_svi.make_svi_natgrad_step(cfg, N, opt, rho=0.2)
+    ps, _ = timed_drive(step, state, Ys, args.chunk)
+    record("c9_m64", ps, "V=2 M=64 Q=4 D=2x32")
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"n": N, "batch": B, "chunk": args.chunk,
+                   "device": jax.devices()[0].device_kind,
+                   "rows": rows}, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

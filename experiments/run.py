@@ -19,6 +19,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def ard_cross_private_ratio(rel) -> float:
+    """Shared/private MRD signature as ONE gateable scalar: per view,
+    the weakest ARD weight (the other view's private dim, which the
+    generator gives ZERO weight) over the mean of the two strongest
+    (the shared dims); reported as the max over views. Truth on the
+    two_view generators: 0. Flat relevance (structure not learned, the
+    round-3 c9 failure): 1. Gated in core/config.CHECKS for both MRD
+    configs."""
+    import numpy as np
+
+    rel = np.asarray(rel, dtype=np.float64)
+    ratios = []
+    for row in rel:
+        w = np.sort(row)[::-1]
+        ratios.append(w[-1] / max(w[:2].mean(), 1e-30))
+    return float(max(ratios))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", help="name from dp_gp_lvm_tpu.core.config")
@@ -721,8 +739,10 @@ def main():
         result["ard_relevance"] = [
             [round(float(a), 6) for a in row] for row in rel
         ]
+        result["ard_cross_private_ratio"] = ard_cross_private_ratio(rel)
         print(f"[{cfg.name}] cross-view mse={mse:.4f} "
-              f"(baseline {base:.4f}, ratio {mse/base:.3f}) pll={pll:.4f}",
+              f"(baseline {base:.4f}, ratio {mse/base:.3f}) pll={pll:.4f} "
+              f"sig={result['ard_cross_private_ratio']:.4f}",
               flush=True)
 
     if cfg.model == "mrd_svi":
@@ -752,8 +772,10 @@ def main():
         result["ard_relevance"] = [
             [round(float(a), 6) for a in row] for row in rel
         ]
+        result["ard_cross_private_ratio"] = ard_cross_private_ratio(rel)
         print(f"[{cfg.name}] cross-view mse={mse:.4f} "
               f"(baseline {base:.4f}, ratio {mse/base:.3f}) pll={pll:.4f} "
+              f"sig={result['ard_cross_private_ratio']:.4f} "
               f"({pred_s:.1f}s, served from q(u) alone)", flush=True)
 
     if cfg.model == "dp_gp_lvm" and cfg.missing_fraction > 0:

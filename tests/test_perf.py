@@ -28,3 +28,17 @@ def test_geometry_floor_dominates_at_small_q():
     costs = dp_step_costs(8192, 60, 10, 64, 20)
     assert costs.mxu_geom_flops > 5.0 * costs.mxu_flops
     assert V5E_PEAKS["exp_per_s"] > 0
+
+
+def test_lane_padded_floor():
+    # M=64: every (B, M, M) tile stage pads its minor dim to 128 lanes
+    # -> the defended floor is 2x the geometric one; M=128 pads nothing
+    c64 = dp_step_costs(1024, 60, 10, 64, 20)
+    c128 = dp_step_costs(8192, 120, 10, 128, 20)
+    assert abs(c64.lane_pad - 2.0) < 1e-9
+    assert abs(c128.lane_pad - 1.0) < 1e-9
+    u64 = mfu(0.006, c64)
+    assert u64["padded_floor_ms"] >= u64["floor_ms"]
+    # when mxu/exp binds, padding scales the floor by exactly lane_pad
+    if u64["binding_floor"] in ("mxu", "exp"):
+        assert abs(u64["padded_floor_ms"] / u64["floor_ms"] - 2.0) < 1e-6
