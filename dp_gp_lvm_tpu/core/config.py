@@ -251,11 +251,18 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
     # conservative first-run floors (amortization restricts the
     # variational family, so elbo/mse sit below/above the c6 values by
     # construction); tighten after the first committed TPU artifact
+    # calibrated from the first gate-passing TPU artifact (round 4:
+    # mse 0.0079, pll +0.153, f64 elbo -1.15e6, 573k rows/s) with
+    # headroom beyond calibrate_checks' 1.4x on mse for seed noise
     "c8_amortized_svi": {
-        "imputation_mse": ("<=", 0.10),
-        "predictive_loglik_per_dim": (">=", -1.2),
-        "rows_per_sec": (">=", 150000.0),
-        "elbo": (">=", -7.0e6),
+        "imputation_mse": ("<=", 0.02),
+        "predictive_loglik_per_dim": (">=", -0.15),
+        "rows_per_sec": (">=", 280000.0),
+        # two-sided: the round-3 divergent run reported +4.56e8, which is
+        # above the analytic cap (noise_floor 1e-3 bounds the per-point
+        # Gaussian LL at ~2.9 nats; N*d = 4.2e6 points -> any valid bound
+        # is <= ~1.2e7) yet would have passed a lower-bound-only gate.
+        "elbo": [(">=", -1.35e6), ("<=", 1.2e7)],
     },
     # conservative first-run floors (the cross-view ratio ceiling on
     # this generator regime is ~0.5, per the two_view docstring
@@ -305,11 +312,19 @@ def evaluate_checks(name: str, result: dict) -> list[str]:
     for path, value in numerics:
         if math.isnan(value) or math.isinf(value):
             failures.append(f"{path}: non-finite value {value}")
-    for metric, (op, threshold) in CHECKS.get(name, {}).items():
+    for metric, gates in CHECKS.get(name, {}).items():
         if metric not in result or result[metric] is None:
             failures.append(f"{metric}: MISSING from result")
             continue
         value = result[metric]
-        if not _OPS[op](value, threshold):
-            failures.append(f"{metric}: {value:.6g} not {op} {threshold:.6g}")
+        # a gate is (op, threshold) or a list of them (e.g. a two-sided
+        # range gate — round-3's impossible +4.56e8 c8 ELBO passed a
+        # lower-bound-only gate)
+        if isinstance(gates, tuple):
+            gates = [gates]
+        for op, threshold in gates:
+            if not _OPS[op](value, threshold):
+                failures.append(
+                    f"{metric}: {value:.6g} not {op} {threshold:.6g}"
+                )
     return failures
