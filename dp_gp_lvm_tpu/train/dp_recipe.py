@@ -195,7 +195,7 @@ def staged_dp_svi(
 
         params, (Y,) = recipe.place_svi("dp_svi", params, (Y,), mesh)
 
-    t2_start = time.time()
+    t2_start = time.perf_counter()
     if start_after in (None, STAGE_SPLIT):
         opt_w = gp_optimizer(params, lr=0.0, hyper_lr=0.0)
         warm_step = dp_svi.make_dp_svi_step(
@@ -248,5 +248,5 @@ def staged_dp_svi(
         label=f"[stage2c joint T={config.truncation}] ",
     )
     info["per_step"] = per_step
-    info["seconds"] = tt1 + (time.time() - t2_start)
+    info["seconds"] = tt1 + (time.perf_counter() - t2_start)
     return state, opt2, info

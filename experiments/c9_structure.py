@@ -87,7 +87,7 @@ def run_variant(name, Ys, n_total, steps, batch, q, m, lr, amortized,
         )
         return jax.lax.scan(one, st, keys)
 
-    t0 = time.time()
+    t0 = time.perf_counter()
     done = 0
     last = None
     while done < steps:
@@ -102,7 +102,7 @@ def run_variant(name, Ys, n_total, steps, batch, q, m, lr, amortized,
         "amortized": amortized, "final_loss": last,
         "ard_relevance": np.round(ard, 4).tolist(),
         "cross_private_ratio": [round(s, 4) for s in sig],
-        "seconds": round(time.time() - t0, 1),
+        "seconds": round(time.perf_counter() - t0, 1),
     }
     print(f"{name:16s} ratio={sig} ard={np.round(ard, 3).tolist()}",
           flush=True)

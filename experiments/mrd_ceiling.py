@@ -102,7 +102,7 @@ def main():
         lambda p, a, b: mrd.loss(p, [a, b], cfg), opt, num_inner=500
     )
     best = None
-    t0 = time.time()
+    t0 = time.perf_counter()
     for r in range(args.restarts):
         p = mrd.init_params(jax.random.PRNGKey(r), [Y1, Y2], cfg)
         st = init_state(p, opt)
@@ -130,7 +130,7 @@ def main():
         "mrd_pll_per_dim": round(pll, 4),
         "mrd_best_elbo": round(elbo, 2),
         "mrd_over_oracle": round(mrd_ratio / oracle, 3),
-        "seconds": round(time.time() - t0, 1),
+        "seconds": round(time.perf_counter() - t0, 1),
         "note": "oracle is GIVEN the held-out rows' true shared latent "
                 "coordinates — a strict upper bound on any cross-view "
                 "predictor, which must additionally infer them from the "

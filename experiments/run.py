@@ -404,7 +404,16 @@ def main():
             an uninterrupted one even across a --log-every change
             (tests/test_resume_cli.py). ck/ckpt_every: save every
             ckpt_every steps (must be a chunk multiple to actually
-            fire — run.py warns when it is not)."""
+            fire — run.py warns when it is not).
+
+            Timing uses time.perf_counter (monotonic), never
+            time.time: the wall clock inside this VM steps under
+            NTP/resume adjustments, and the round-3 c9 artifact shipped
+            a 22 ms/step figure whose own perf_counter-based
+            train.jsonl showed 2.8 ms (first wall_dt_s even exceeded
+            the run's total seconds — impossible without a clock
+            step). results/c9_profile.json re-measures the identical
+            drive at ~2.7 ms/step."""
             def one(st, step_rng):
                 st, metrics = nat_step(st, step_rng, Y_cur)
                 return st, metrics["loss"]
@@ -416,7 +425,7 @@ def main():
                 )(start_step + jnp.arange(chunk))
                 return jax.lax.scan(one, st, keys)
 
-            t0 = time.time()
+            t0 = time.perf_counter()
             done = int(state.step)
             start = done
             t_post = None
@@ -424,7 +433,7 @@ def main():
                 state, losses = svi_multi(state, jnp.int32(done))
                 jax.block_until_ready(losses)
                 if t_post is None:
-                    t_post = time.time()   # exclude the compile chunk
+                    t_post = time.perf_counter()   # exclude the compile chunk
                 done += chunk
                 elbo_now = -float(losses[-1])
                 logger.log(done - 1, elbo_estimate=elbo_now)
@@ -434,9 +443,9 @@ def main():
                         done % ckpt_every == 0:
                     ck.save(state)
             timed_steps = done - start - chunk   # post-compile steps
-            per_step = ((time.time() - t_post) / timed_steps
+            per_step = ((time.perf_counter() - t_post) / timed_steps
                         if timed_steps > 0 else float("nan"))
-            return state, per_step, time.time() - t0
+            return state, per_step, time.perf_counter() - t0
 
         # q(u) by stochastic natural gradient (measured ahead of Adam
         # at this scale for every rho in 0.05-0.5 —
@@ -531,7 +540,7 @@ def main():
                     state = ck_svi.restore(state)
                     print(f"[{cfg.name}] resumed at step "
                           f"{int(state.step)}", flush=True)
-                t0 = time.time()
+                t0 = time.perf_counter()
                 t_post = None
                 done = int(state.step)
                 start = done
@@ -561,7 +570,7 @@ def main():
                         )
                         jax.block_until_ready(losses)
                         if t_post is None:
-                            t_post = time.time()
+                            t_post = time.perf_counter()
                         done += chunk
                         elbo_now = -float(losses[-1])
                         logger.log(done - 1, elbo_estimate=elbo_now)
@@ -573,9 +582,9 @@ def main():
                 if ck_svi is not None:
                     ck_svi.close()
                 timed = done - start - chunk
-                per_step = ((time.time() - t_post) / timed
+                per_step = ((time.perf_counter() - t_post) / timed
                             if timed > 0 else float("nan"))
-                total = time.time() - t0
+                total = time.perf_counter() - t0
                 result_extra["streamed"] = True
                 result_extra["native_loader"] = _stream.native_available()
             else:
@@ -646,7 +655,7 @@ def main():
     # seeds; keep the best final ELBO. The compiled multi_step is reused
     # across restarts — only the first pays the compile.
     if loss_fn is not None:
-        t0 = time.time()
+        t0 = time.perf_counter()
         state, best_elbo = train_from(
             params, " [r0]" if cfg.restarts > 1 else ""
         )
@@ -661,7 +670,7 @@ def main():
             restart_elbos.append(elbo_r)
             if elbo_r > best_elbo:
                 state, best_elbo = state_r, elbo_r
-        total = time.time() - t0
+        total = time.perf_counter() - t0
         if cfg.restarts > 1:
             print(f"[{cfg.name}] restart elbos: "
                   f"{[round(e, 2) for e in restart_elbos]} -> best "
@@ -718,12 +727,12 @@ def main():
         # cross-view prediction on the held-out rows: observe view 0,
         # predict view 1; mean-baseline = predicting the train mean (the
         # views are standardized on the full series, so this is ~unit MSE).
-        t_pred = time.time()
+        t_pred = time.perf_counter()
         mean, var, *_ = prediction.predict_view_from_views(
             state.params, list(data), mcfg,
             observed={0: Y1_test}, target_view=1, num_steps=400,
         )
-        pred_s = time.time() - t_pred
+        pred_s = time.perf_counter() - t_pred
         ones = jnp.ones_like(Y2_test)
         mse = float(jnp.mean((mean - Y2_test) ** 2))
         base = float(jnp.mean((data[1].mean(axis=0) - Y2_test) ** 2))
@@ -752,12 +761,12 @@ def main():
         # posterior caches from full-batch statistics)
         from dp_gp_lvm_tpu.models import mrd_svi
 
-        t_pred = time.time()
+        t_pred = time.perf_counter()
         mean, var, *_ = mrd_svi.cross_view_predict(
             state.params, {0: Y1_test}, 1, mcfg, num_steps=300,
         )
         jax.block_until_ready(mean)
-        pred_s = time.time() - t_pred
+        pred_s = time.perf_counter() - t_pred
         ones = jnp.ones_like(Y2_test)
         mse = float(jnp.mean((mean - Y2_test) ** 2))
         base = float(jnp.mean((data[1].mean(axis=0) - Y2_test) ** 2))
@@ -782,12 +791,12 @@ def main():
         d = Y_test.shape[1]
         n_miss = int(d * cfg.missing_fraction)
         mask = jnp.ones((Y_test.shape[0], d), dtype).at[:, -n_miss:].set(0.0)
-        t_imp = time.time()
+        t_imp = time.perf_counter()
         mean, var, *_ = prediction.impute_dp(
             state.params, Y_train, mcfg, Y_test, mask, num_steps=200
         )
         jax.block_until_ready(mean)
-        imp_s = time.time() - t_imp
+        imp_s = time.perf_counter() - t_imp
         miss = 1.0 - mask
         mse = float(jnp.sum(((mean - Y_test) ** 2) * miss) / jnp.sum(miss))
         pll = float(prediction.gaussian_predictive_loglik(
@@ -805,12 +814,12 @@ def main():
         d = Y_test.shape[1]
         n_miss = int(d * cfg.missing_fraction)
         mask = jnp.ones((Y_test.shape[0], d), dtype).at[:, -n_miss:].set(0.0)
-        t_imp = time.time()
+        t_imp = time.perf_counter()
         mean, var, *_ = svi_gplvm.impute(
             state.params, Y_test, mask, mcfg, num_steps=200
         )
         jax.block_until_ready(mean)
-        imp_s = time.time() - t_imp
+        imp_s = time.perf_counter() - t_imp
         miss = 1.0 - mask
         mse = float(jnp.sum(((mean - Y_test) ** 2) * miss) / jnp.sum(miss))
         pll = float(prediction.gaussian_predictive_loglik(
@@ -831,12 +840,12 @@ def main():
         from dp_gp_lvm_tpu.models import dp_svi as _dps
 
         mask = jnp.zeros_like(Y_test).at[:, ::2].set(1.0)
-        t_imp = time.time()
+        t_imp = time.perf_counter()
         mean, var, *_ = _dps.impute(
             state.params, Y_test, mask, mcfg, num_steps=200
         )
         jax.block_until_ready(mean)
-        imp_s = time.time() - t_imp
+        imp_s = time.perf_counter() - t_imp
         miss = 1.0 - mask
         mse = float(jnp.sum(((mean - Y_test) ** 2) * miss)
                     / jnp.sum(miss))

@@ -75,20 +75,20 @@ def main():
         state = init_state(params0, opt)
         rr = jax.random.PRNGKey(99)
         t_post = None
-        t0 = time.time()
+        t0 = time.perf_counter()
         for k in range(args.steps // CHUNK):
             rr, sub = jax.random.split(rr)
             state, losses = multi(state, sub)
             jax.block_until_ready(losses)
             if t_post is None:
-                t_post = time.time()       # exclude the compile chunk
+                t_post = time.perf_counter()       # exclude the compile chunk
         timed = args.steps - CHUNK
-        ms = (time.time() - t_post) / max(timed, 1) * 1e3
+        ms = (time.perf_counter() - t_post) / max(timed, 1) * 1e3
         elbo = float(svi_gplvm.elbo(state.params, Y, cfg))
         row = {"variant": name, "ms_per_step": round(ms, 4),
                "rows_per_sec": round(BATCH / (ms / 1e3)),
                "final_full_elbo": round(elbo, 1),
-               "total_seconds": round(time.time() - t0, 1)}
+               "total_seconds": round(time.perf_counter() - t0, 1)}
         print(row, flush=True)
         return row
 

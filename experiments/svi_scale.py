@@ -71,7 +71,7 @@ def main():
     state, losses = multi(state, sub)
     jax.block_until_ready(losses)
     trail = [-float(losses[-1])]
-    t0 = time.time()
+    t0 = time.perf_counter()
     done = CHUNK
     while done < args.steps:
         rng_run, sub = jax.random.split(rng_run)
@@ -79,7 +79,7 @@ def main():
         done += CHUNK
         trail.append(-float(losses[-1]))
         print(f"  step {done}: elbo_estimate={trail[-1]:.4g}", flush=True)
-    wall = time.time() - t0
+    wall = time.perf_counter() - t0
     steps_timed = done - CHUNK
     ms_per_step = wall / steps_timed * 1e3
 

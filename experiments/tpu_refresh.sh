@@ -57,7 +57,7 @@ run_job c9 7200 python experiments/run.py c9_mrd_svi_bigN --check --out results/
 
 # 4/5. big-N single-family configs: gate re-confirmation.
 run_job c6_check 5400 python experiments/run.py c6_svi_bigN --check --out results/c6_recheck
-run_job c7_check 9000 python experiments/run.py c7_dp_svi --check --out results/c7_recheck
+run_job c7_check 9000 python experiments/run.py c7_dp_svi --check --out results/c7
 
 # 6. Serving latency refresh including the encoder-imputer rows.
 run_job serving 3600 python experiments/serving_bench.py --out results/serving_bench.json
