@@ -84,17 +84,21 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # into the "independent encodings" local optimum (each view encodes
     # its signal in disjoint latent dims; cross-view ratio ~1.0). The
     # calibrated recipe recovers shared structure: measured cross-view
-    # MSE ratio 0.645. Ceiling analysis (experiments/mrd_ceiling.py,
+    # MSE ratio 0.645 under Adam; ngd_lr=1.0 (round-4 sweep,
+    # results/c3_ngd_sweep.json) trims it to 0.621 and is adopted —
+    # lr 0.3 underperforms, 3.0 diverges, 2x steps converges at 0.637.
+    # Ceiling analysis (experiments/mrd_ceiling.py,
     # results/mrd_ceiling.json): an EXACT GP given the held-out rows'
     # TRUE shared latents reaches 0.485 on this protocol (theory floor
-    # 0.293 at infinite data), so the recipe sits within ~1.3x of a
-    # ceiling that excludes latent-inference error. (An earlier comment
+    # 0.293 at infinite data), so the recipe sits within ~1.28x of a
+    # ceiling that excludes latent-inference error; the sweep shows
+    # every trained-model dial lands in 0.62-0.65. (An earlier comment
     # cited a "both-view bound ~0.23" — retracted: observing both views
     # leaks the target's private coordinate; not a cross-view ceiling.)
     "c3_mrd_twoview": ExperimentConfig(
         name="c3_mrd_twoview", model="mrd", dataset="two_view",
         n=256, d=16, q=4, m=32, views=(8, 8), steps=8000, lr=2e-2,
-        restarts=3,
+        restarts=3, ngd_lr=1.0,
     ),
     # BASELINE configs[3]
     # ngd_lr=1.0: natural gradients on q(X) lift the DP configs off

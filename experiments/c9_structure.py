@@ -128,7 +128,10 @@ def main():
     Ys = (Y1, Y2)
     q = 4
 
+    # merge into an existing artifact so variant batches accumulate
     rows = {}
+    if os.path.exists(args.out):
+        rows = json.load(open(args.out)).get("rows", {})
     for v in args.variants.split(","):
         if v == "resident":
             rows[v] = run_variant(v, Ys, args.n, args.steps, args.batch,
@@ -140,6 +143,15 @@ def main():
         elif v == "amortized":
             rows[v] = run_variant(v, Ys, args.n, args.steps, args.batch,
                                   q, args.m, args.lr, amortized=True)
+        elif v == "resident_hot":
+            # c3's collapsed recipe recovers structure at lr=2e-2 while
+            # every 3e-3 variant above stays flat: test lr as the dial
+            # (hypers ride at lr/10, so this is also ~7x faster ARD)
+            rows[v] = run_variant(v, Ys, args.n, args.steps, args.batch,
+                                  q, args.m, 2e-2, amortized=False)
+        elif v == "amortized_hot":
+            rows[v] = run_variant(v, Ys, args.n, args.steps, args.batch,
+                                  q, args.m, 2e-2, amortized=True)
         else:
             raise SystemExit(f"unknown variant {v}")
 

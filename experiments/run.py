@@ -68,6 +68,8 @@ def main():
                          "on small hosts / fake-device meshes)")
     ap.add_argument("--batch", type=int, default=None,
                     help="override the SVI minibatch size (smoke runs)")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override config.lr (sweeps)")
     ap.add_argument("--restarts", type=int, default=None,
                     help="override the config's restart count "
                          "(non-convex models keep the best final ELBO)")
@@ -117,13 +119,15 @@ def main():
     )
 
     cfg = config_lib.get(args.config)
-    if args.n or args.restarts:
+    if args.n or args.restarts or args.lr:
         import dataclasses
 
         if args.n:
             cfg = dataclasses.replace(cfg, n=args.n)
         if args.restarts:
             cfg = dataclasses.replace(cfg, restarts=args.restarts)
+        if args.lr:
+            cfg = dataclasses.replace(cfg, lr=args.lr)
     steps = args.steps or cfg.steps
     dtype = jnp.float64 if args.f64 else jnp.float32
     rng = jax.random.PRNGKey(cfg.seed)
@@ -895,6 +899,13 @@ def main():
         export_npz(os.path.join(out_dir, "params.npz"),
                    dp_gp_lvm.constrain(state.params))
     elif cfg.model == "dp_svi":
+        export_npz(os.path.join(out_dir, "params.npz"),
+                   dict(state.params))
+    elif cfg.model in ("svi_gplvm", "mrd_svi"):
+        # RAW params (like dp_svi): the SVI serving entry points
+        # (impute / cross_view_predict / the serving factories) take
+        # raw leaves and constrain internally, so the export must be
+        # loadable straight into them (experiments/c9_eval_sweep.py).
         export_npz(os.path.join(out_dir, "params.npz"),
                    dict(state.params))
 
