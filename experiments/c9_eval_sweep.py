@@ -66,8 +66,8 @@ def main():
 
     params = load_params(args.npz)
     mcfg = mrd_svi.Config(
-        num_latent=cfg.q, num_inducing=cfg.m,
-        noise_floor=cfg.noise_floor, kernel=cfg.kernel,
+        num_latent=cfg.q, num_inducing=cfg.m, num_views=len(cfg.views),
+        psi2_block=cfg.psi2_block, noise_floor=cfg.noise_floor,
     )
 
     ones = jnp.ones_like(Y2_test)
