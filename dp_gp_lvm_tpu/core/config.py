@@ -58,6 +58,15 @@ class ExperimentConfig:
     #                              (train.loop.ngd_precondition); None = Adam
     #                              everywhere. ~1.0 is the measured stable
     #                              optimum at mocap scale; 2.0+ destabilizes.
+    ard_lr: float | None = None  # hot Adam rate for raw_ard ALONE
+    #                              (train.loop.gp_optimizer): minibatch-SVI
+    #                              ARD separation at big N needs ~30-100x
+    #                              the calm lr/10 hyper rate, but heating
+    #                              ALL hypers collapses sigma_f^2 into a
+    #                              degenerate regime that caps predictive
+    #                              variance and craters cross-view PLL
+    #                              (results/c9_diag.json). None = ARD at
+    #                              the hyper rate.
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

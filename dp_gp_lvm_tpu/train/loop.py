@@ -81,6 +81,7 @@ def gp_optimizer(
     skip_nonfinite: int = 100_000,
     decay_steps: int | None = None,
     ngd_lr: float | None = None,
+    ard_lr: float | None = None,
     freeze: frozenset = frozenset(),
     slow: frozenset = frozenset(),
 ) -> optax.GradientTransformation:
@@ -100,6 +101,14 @@ def gp_optimizer(
     failures self-repair, so the counter never accumulates.
     """
     hyper_lr = lr / 10.0 if hyper_lr is None else hyper_lr
+    # ard_lr: optional hot rate for raw_ard ALONE. Minibatch-SVI ARD
+    # separation at big N needs ~30x the calm hyper rate, but heating
+    # ALL hypers collapses the kernel variance (c9_long: sigma_f^2
+    # 0.40 -> 0.068) into a degenerate high-likelihood regime where
+    # whitened q(u) means carry the O(1) signal and predictive
+    # uncertainty is capped at sigma_f^2 — cross-view PLL craters to -8
+    # (results/c9_diag.json). Heating only the ARD weights separates the
+    # shared/private signature while sigma_f^2/noise stay calibrated.
     ngd_sched = None
     if decay_steps:
         if ngd_lr is not None:
@@ -110,6 +119,10 @@ def gp_optimizer(
         hyper_lr = optax.cosine_decay_schedule(
             hyper_lr, decay_steps, alpha=0.05
         )
+        if ard_lr is not None:
+            ard_lr = optax.cosine_decay_schedule(
+                ard_lr, decay_steps, alpha=0.05
+            )
     elif ngd_lr is not None:
         ngd_sched = lambda _: ngd_lr
 
@@ -122,6 +135,8 @@ def gp_optimizer(
             # phi move, so per-atom residual levels stay static while
             # assignments form)
             return "frozen"
+        if ard_lr is not None and k == "raw_ard":
+            return "ard"
         if k in HYPER_PARAM_NAMES or k in slow:
             # `slow`: extra leaves at the hyper rate — e.g. "z" in
             # amortized big-N SVI, where full-rate inducing points
@@ -139,6 +154,8 @@ def gp_optimizer(
         ]
     transforms = {"hyper": optax.adam(hyper_lr), "var": optax.adam(lr),
                   "frozen": optax.set_to_zero()}
+    if ard_lr is not None:
+        transforms["ard"] = optax.adam(ard_lr)
     if ngd_lr is not None and "ngd" not in jax.tree_util.tree_leaves(labels):
         # amortized q(X) (models/amortized.py) has no qx table leaves;
         # the inverse-Fisher preconditioner would otherwise receive

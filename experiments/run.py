@@ -70,6 +70,16 @@ def main():
                     help="override the SVI minibatch size (smoke runs)")
     ap.add_argument("--lr", type=float, default=None,
                     help="override config.lr (sweeps)")
+    ap.add_argument("--hyper-lr", type=float, default=None,
+                    help="override the kernel-hyper Adam rate (default "
+                         "lr/10; sweeps — c9's ARD separation needs "
+                         "hyper-distance without hot variational rates)")
+    ap.add_argument("--ard-lr", type=float, default=None,
+                    help="hot Adam rate for raw_ard ALONE (keeps "
+                         "sigma_f^2/noise at the calm hyper rate — "
+                         "heating all hypers collapses the kernel "
+                         "variance and destroys predictive calibration; "
+                         "see results/c9_diag.json)")
     ap.add_argument("--restarts", type=int, default=None,
                     help="override the config's restart count "
                          "(non-convex models keep the best final ELBO)")
@@ -361,7 +371,9 @@ def main():
     # recursion diverges). Z at the hyper rate keeps K_uu conditioned
     # AND out-trains frozen Z (-3.4e5 vs -5.3e5 at equal steps).
     slow = frozenset({"z"}) if cfg.amortized else frozenset()
-    optimizer = gp_optimizer(params, lr=cfg.lr, decay_steps=steps,
+    ard_lr = args.ard_lr if args.ard_lr is not None else cfg.ard_lr
+    optimizer = gp_optimizer(params, lr=cfg.lr, hyper_lr=args.hyper_lr,
+                             ard_lr=ard_lr, decay_steps=steps,
                              ngd_lr=ngd_lr, slow=slow)
 
     if cfg.model in ("svi_gplvm", "dp_svi", "mrd_svi"):

@@ -162,3 +162,38 @@ def test_ngd_optimizer_trains_and_helps_variances():
     assert l1 < l0, (l0, l1)
     moved = np.abs(np.asarray(state.params["raw_qx_var"]) - raw0)
     assert float(moved.max()) > 0.1, float(moved.max())
+
+
+def test_ard_lr_heats_only_raw_ard():
+    """gp_optimizer(ard_lr=...) must route raw_ard (top-level AND nested
+    per-view) to its own hot Adam while raw_variance/raw_noise stay at
+    the calm hyper rate — heating all hypers collapses sigma_f^2 and
+    destroys predictive calibration (results/c9_diag.json)."""
+    from dp_gp_lvm_tpu.models import mrd_svi
+    from dp_gp_lvm_tpu.train.loop import gp_optimizer
+
+    Ys = [
+        jax.random.normal(jax.random.PRNGKey(i), (32, 5)) for i in range(2)
+    ]
+    cfg = mrd_svi.Config(
+        num_latent=3, num_inducing=6, num_views=2, batch=8, view_dims=(5, 5)
+    )
+    params = mrd_svi.init_params(jax.random.PRNGKey(0), Ys, cfg)
+    opt = gp_optimizer(params, lr=3e-3, ard_lr=3e-2, ngd_lr=1.0)
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    for v in range(2):
+        ard = float(jnp.abs(updates["views"][v]["raw_ard"]).mean())
+        var = float(jnp.abs(updates["views"][v]["raw_variance"]).mean())
+        noise = float(jnp.abs(updates["views"][v]["raw_noise"]).mean())
+        # first Adam step ~= its lr for unit grads
+        np.testing.assert_allclose(ard, 3e-2, rtol=1e-3)
+        np.testing.assert_allclose(var, 3e-4, rtol=1e-3)
+        np.testing.assert_allclose(noise, 3e-4, rtol=1e-3)
+
+    # without ard_lr, raw_ard rides the hyper rate (unchanged default)
+    opt0 = gp_optimizer(params, lr=3e-3, ngd_lr=1.0)
+    updates0, _ = opt0.update(grads, opt0.init(params), params)
+    ard0 = float(jnp.abs(updates0["views"][0]["raw_ard"]).mean())
+    np.testing.assert_allclose(ard0, 3e-4, rtol=1e-3)
