@@ -120,8 +120,13 @@ def gp_optimizer(
             hyper_lr, decay_steps, alpha=0.05
         )
         if ard_lr is not None:
-            ard_lr = optax.cosine_decay_schedule(
-                ard_lr, decay_steps, alpha=0.05
+            # warmup matters here: a hot ARD rate from a COLD start
+            # (q(u), q(X) uninformed) NaNs within 250 steps at c9 scale
+            # (elbo -6e12 by step 249, ard_lr=0.03 + NGD rho=1.0); the
+            # same peak is stable once the variational state has formed
+            ard_lr = optax.warmup_cosine_decay_schedule(
+                0.0, ard_lr, min(2000, decay_steps // 10),
+                decay_steps, end_value=0.05 * ard_lr,
             )
     elif ngd_lr is not None:
         ngd_sched = lambda _: ngd_lr
