@@ -552,7 +552,12 @@ def make_dp_svi_step(config: Config, n_total: int, optimizer,
         if streaming:
             idx, y_b = Y            # host-fed (idx, rows) pair
         elif sample_idx is None:
-            idx = jax.random.randint(rng, (config.batch,), 0, n_total)
+            # dtype pinned: under x64 the default int64 draw consumes the
+            # key differently, giving a DIFFERENT minibatch sequence than
+            # f32 runs (root cause of the round-4 red dryrun test)
+            idx = jax.random.randint(
+                rng, (config.batch,), 0, n_total, dtype=jnp.int32
+            )
             y_b = Y[idx]
         else:
             idx = sample_idx(rng)

@@ -306,7 +306,10 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
                 y_b.append(y_cat[:, offs:offs + d_v])
                 offs += d_v
         elif sample_idx is None:
-            idx = jax.random.randint(rng, (config.batch,), 0, n_total)
+            # int32 pinned so the minibatch sequence is x64-invariant
+            idx = jax.random.randint(
+                rng, (config.batch,), 0, n_total, dtype=jnp.int32
+            )
             y_b = [Y[idx] for Y in Ys]
         else:
             idx = sample_idx(rng)

@@ -389,7 +389,10 @@ def make_svi_step(config: Config, n_total: int, optimizer):
     from dp_gp_lvm_tpu.train.loop import TrainState
 
     def step(state: TrainState, rng, Y):
-        idx = jax.random.randint(rng, (config.batch,), 0, n_total)
+        # int32 pinned so the minibatch sequence is x64-invariant
+        idx = jax.random.randint(
+            rng, (config.batch,), 0, n_total, dtype=jnp.int32
+        )
         y_b = Y[idx]
         loss_v, grads = jax.value_and_grad(
             lambda p: loss_minibatch(p, y_b, idx, n_total, config)
@@ -720,7 +723,10 @@ def make_svi_natgrad_step(config: Config, n_total: int, optimizer,
         if streaming:
             idx, y_b = Y            # host-fed (idx, rows) pair
         elif sample_idx is None:
-            idx = jax.random.randint(rng, (config.batch,), 0, n_total)
+            # int32 pinned so the minibatch sequence is x64-invariant
+            idx = jax.random.randint(
+                rng, (config.batch,), 0, n_total, dtype=jnp.int32
+            )
             y_b = Y[idx]
         else:
             idx = sample_idx(rng)

@@ -82,6 +82,7 @@ def gp_optimizer(
     decay_steps: int | None = None,
     ngd_lr: float | None = None,
     ard_lr: float | None = None,
+    ard_warmup: int | None = None,
     freeze: frozenset = frozenset(),
     slow: frozenset = frozenset(),
 ) -> optax.GradientTransformation:
@@ -122,14 +123,25 @@ def gp_optimizer(
         if ard_lr is not None:
             # warmup matters here: a hot ARD rate from a COLD start
             # (q(u), q(X) uninformed) NaNs within 250 steps at c9 scale
-            # (elbo -6e12 by step 249, ard_lr=0.03 + NGD rho=1.0); the
-            # same peak is stable once the variational state has formed
+            # (elbo -6e12 by step 249, ard_lr=0.03 + NGD rho=1.0);
+            # proven NaN-free to ARD separation at 8k-row proxy scale
+            # with the ramped peak (results/c9_structure.json warmup row)
+            warm = (ard_warmup if ard_warmup is not None
+                    else min(2000, decay_steps // 10))
             ard_lr = optax.warmup_cosine_decay_schedule(
-                0.0, ard_lr, min(2000, decay_steps // 10),
-                decay_steps, end_value=0.05 * ard_lr,
+                0.0, ard_lr, warm, decay_steps, end_value=0.05 * ard_lr,
             )
-    elif ngd_lr is not None:
-        ngd_sched = lambda _: ngd_lr
+    else:
+        if ngd_lr is not None:
+            ngd_sched = lambda _: ngd_lr
+        if ard_lr is not None:
+            # no decay horizon given: still warm up (linear ramp to the
+            # configured peak, then constant). A constant hot rate from
+            # step 0 is the exact cold-start mode documented above —
+            # direct gp_optimizer callers must not get it silently.
+            peak = ard_lr
+            warm = 2000 if ard_warmup is None else ard_warmup
+            ard_lr = optax.linear_schedule(0.0, peak, max(warm, 1))
 
     NGD_NAMES = frozenset({"qx_mean", "raw_qx_var"})
 
@@ -179,6 +191,37 @@ def gp_optimizer(
     if skip_nonfinite:
         opt = optax.apply_if_finite(opt, skip_nonfinite)
     return opt
+
+
+class NonFiniteGuard:
+    """K-consecutive-non-finite-chunks abort for chunked training loops.
+
+    The round-4 c9_ardlr run NaN'd at ~step 1,500 and kept dispatching
+    30,500 useless NaN steps (~12 min of TPU time): optax.apply_if_finite
+    skips bad UPDATES but nothing halted the LOOP once the params
+    themselves were poisoned. Feed each chunk's fetched losses to
+    `update`; when `k` consecutive chunks contain any non-finite value it
+    returns True — the loop must stop, mark the run failed, and exit
+    nonzero (experiments/run.py exits 3). One finite chunk resets the
+    counter, so a transient skip-and-recover does not kill a run.
+    """
+
+    def __init__(self, k: int = 3):
+        self.k = k
+        self.consecutive = 0
+        self.first_bad_step: int | None = None
+
+    def update(self, losses, step: int) -> bool:
+        import numpy as np
+
+        if bool(np.all(np.isfinite(np.asarray(losses)))):
+            self.consecutive = 0
+            self.first_bad_step = None
+            return False
+        if self.consecutive == 0:
+            self.first_bad_step = step
+        self.consecutive += 1
+        return self.consecutive >= self.k
 
 
 def make_step_fn(

@@ -94,6 +94,12 @@ def main():
                          "--ckpt-every; bit-identical continuation), the "
                          "staged dp_svi recipe restarts at the first "
                          "incomplete stage from <out>/stages")
+    ap.add_argument("--inject-nonfinite-at", type=int, default=None,
+                    metavar="STEP",
+                    help="fault injection (tests): treat chunk losses "
+                         "as NaN from this global step on, exercising "
+                         "the K-consecutive-non-finite abort path "
+                         "without waiting for a real divergence")
     ap.add_argument("--stream", action="store_true",
                     help="SVI configs: feed minibatches through the "
                          "host streaming input pipeline (data/stream.py "
@@ -404,6 +410,37 @@ def main():
             # to hit --stop-after exactly cannot change the trajectory
             chunk = max(1, min(chunk, args.stop_after))
 
+        from dp_gp_lvm_tpu.train.loop import NonFiniteGuard
+
+        def _abort_nonfinite(guard, done):
+            """Mark the run failed and exit nonzero (VERDICT r4 weak-4:
+            the c9_ardlr run burned 30k NaN steps because nothing
+            halted the loop once params were poisoned)."""
+            failed = {
+                "config": cfg.name,
+                "aborted_nonfinite": True,
+                "aborted_at_step": int(done),
+                "first_nonfinite_step": int(guard.first_bad_step or done),
+            }
+            with open(os.path.join(out_dir, "result.json"), "w") as fh:
+                json.dump(failed, fh, indent=2)
+            print(f"[{cfg.name}] ABORT: {guard.k} consecutive scan-chunks "
+                  f"with non-finite losses (first bad chunk at step "
+                  f"~{guard.first_bad_step}); run marked failed in "
+                  f"{out_dir}/result.json", flush=True)
+            raise SystemExit(3)
+
+        def _maybe_injected(losses, start_step):
+            if args.inject_nonfinite_at is None:
+                return losses
+            import numpy as _np
+
+            arr = _np.array(losses, dtype=_np.float64)
+            k = max(0, args.inject_nonfinite_at - int(start_step))
+            if k < arr.shape[0]:
+                arr[k:] = _np.nan
+            return arr
+
         def drive(nat_step, state, n_steps, rng_run, Y_cur, label="",
                   ck=None, ckpt_every=0):
             """Run up to n_steps through chunked lax.scan dispatches;
@@ -445,11 +482,15 @@ def main():
             done = int(state.step)
             start = done
             t_post = None
+            guard = NonFiniteGuard()
             while done < n_steps:
                 state, losses = svi_multi(state, jnp.int32(done))
                 jax.block_until_ready(losses)
                 if t_post is None:
                     t_post = time.perf_counter()   # exclude the compile chunk
+                losses = _maybe_injected(losses, done)
+                if guard.update(losses, done):
+                    _abort_nonfinite(guard, done + chunk)
                 done += chunk
                 elbo_now = -float(losses[-1])
                 logger.log(done - 1, elbo_estimate=elbo_now)
@@ -572,6 +613,7 @@ def main():
                     batch=mcfg.batch, chunk=chunk, seed=cfg.seed + 7,
                     skip_chunks=done // chunk,
                 ) as cs:
+                    guard = NonFiniteGuard()
                     while done < loop_steps:
                         idx_c, y_c = cs.next_chunk()
                         # per-step keys by global step index, like the
@@ -587,6 +629,9 @@ def main():
                         jax.block_until_ready(losses)
                         if t_post is None:
                             t_post = time.perf_counter()
+                        losses = _maybe_injected(losses, done)
+                        if guard.update(losses, done):
+                            _abort_nonfinite(guard, done + chunk)
                         done += chunk
                         elbo_now = -float(losses[-1])
                         logger.log(done - 1, elbo_estimate=elbo_now)

@@ -62,3 +62,33 @@ def test_svi_stream_loop_resume_bit_identical(tmp_path):
                         "2")
     assert "resumed at step 4" in log_b, log_b
     assert res_a["elbo"] == res_b["elbo"], (res_a["elbo"], res_b["elbo"])
+
+
+def test_divergent_run_aborts_nonzero(tmp_path):
+    """Fault injection (VERDICT r4 weak-4): a run whose chunk losses go
+    non-finite must STOP after K consecutive bad chunks, write a
+    result.json marked failed, and exit nonzero — not scan to the end."""
+    out = str(tmp_path / "diverged")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+    cmd = [
+        sys.executable, "experiments/run.py", "c6_svi_bigN",
+        "--n", "128", "--steps", "200", "--batch", "32",
+        "--log-every", "2", "--out", out,
+        "--inject-nonfinite-at", "6",
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 3, (proc.returncode, proc.stdout[-2000:],
+                                  proc.stderr[-2000:])
+    assert "ABORT" in proc.stdout, proc.stdout[-2000:]
+    with open(os.path.join(out, "result.json")) as fh:
+        res = json.load(fh)
+    assert res["aborted_nonfinite"] is True
+    assert res["first_nonfinite_step"] >= 6
+    # well short of the requested 200 steps
+    assert res["aborted_at_step"] <= 20

@@ -179,21 +179,72 @@ def test_ard_lr_heats_only_raw_ard():
         num_latent=3, num_inducing=6, num_views=2, batch=8, view_dims=(5, 5)
     )
     params = mrd_svi.init_params(jax.random.PRNGKey(0), Ys, cfg)
-    opt = gp_optimizer(params, lr=3e-3, ard_lr=3e-2, ngd_lr=1.0)
+    opt = gp_optimizer(params, lr=3e-3, ard_lr=3e-2, ngd_lr=1.0,
+                       ard_warmup=4)
     state = opt.init(params)
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
-    updates, _ = opt.update(grads, state, params)
+    updates, state = opt.update(grads, state, params)
     for v in range(2):
+        # ard_lr ALWAYS warms up now (round-4: cold-start hot ARD NaN'd
+        # within 250 steps at c9 scale): step-0 rate is ~0
         ard = float(jnp.abs(updates["views"][v]["raw_ard"]).mean())
         var = float(jnp.abs(updates["views"][v]["raw_variance"]).mean())
         noise = float(jnp.abs(updates["views"][v]["raw_noise"]).mean())
-        # first Adam step ~= its lr for unit grads
-        np.testing.assert_allclose(ard, 3e-2, rtol=1e-3)
+        assert ard < 3e-2 * 0.01, ard           # warmup: ~zero at step 0
         np.testing.assert_allclose(var, 3e-4, rtol=1e-3)
         np.testing.assert_allclose(noise, 3e-4, rtol=1e-3)
+
+    # after the warmup the ARD group runs hot: rate ~= the configured
+    # peak (and never above it) while the calm hypers stay at lr/10
+    for _ in range(4):
+        updates, state = opt.update(grads, state, params)
+    ard_hot = float(jnp.abs(updates["views"][0]["raw_ard"]).mean())
+    assert 0.5 * 3e-2 < ard_hot <= 3e-2 * (1 + 1e-3), ard_hot
+    var_hot = float(jnp.abs(updates["views"][0]["raw_variance"]).mean())
+    np.testing.assert_allclose(var_hot, 3e-4, rtol=2e-2)
 
     # without ard_lr, raw_ard rides the hyper rate (unchanged default)
     opt0 = gp_optimizer(params, lr=3e-3, ngd_lr=1.0)
     updates0, _ = opt0.update(grads, opt0.init(params), params)
     ard0 = float(jnp.abs(updates0["views"][0]["raw_ard"]).mean())
     np.testing.assert_allclose(ard0, 3e-4, rtol=1e-3)
+
+
+def test_ard_warmup_schedule_bounds():
+    """The ard_lr schedule (with AND without decay_steps) starts at 0 and
+    never exceeds the configured peak (VERDICT r4 item 4)."""
+    import optax
+
+    from dp_gp_lvm_tpu.train.loop import gp_optimizer
+
+    params = {"raw_ard": jnp.ones((3,)), "qx_mean": jnp.zeros((4, 3))}
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    for kwargs in ({"decay_steps": 100}, {}):
+        opt = gp_optimizer(params, lr=1e-3, ard_lr=1e-1, ard_warmup=10,
+                           **kwargs)
+        state = opt.init(params)
+        rates = []
+        for _ in range(30):
+            updates, state = opt.update(grads, state, params)
+            rates.append(float(jnp.abs(updates["raw_ard"]).mean()))
+        assert rates[0] < 1e-3, rates[0]            # step-0 rate ~ 0
+        assert max(rates) <= 1e-1 * (1 + 1e-3), max(rates)
+        assert max(rates) > 5e-2, max(rates)        # reaches near peak
+
+
+def test_nonfinite_guard_unit():
+    """K consecutive non-finite chunks trip the guard; a finite chunk in
+    between resets it (transient skip-and-recover must not kill a run)."""
+    from dp_gp_lvm_tpu.train.loop import NonFiniteGuard
+
+    g = NonFiniteGuard(k=3)
+    assert not g.update([1.0, 2.0], 0)
+    assert not g.update([1.0, float("nan")], 2)       # 1st bad
+    assert g.first_bad_step == 2
+    assert not g.update([float("inf"), 3.0], 4)       # 2nd bad
+    assert not g.update([5.0, 6.0], 6)                # recovery resets
+    assert g.first_bad_step is None
+    assert not g.update([float("nan")], 8)
+    assert not g.update([float("nan")], 9)
+    assert g.update([float("nan")], 10)               # 3rd consecutive
+    assert g.first_bad_step == 8
