@@ -58,6 +58,15 @@ class ExperimentConfig:
     #                              (train.loop.ngd_precondition); None = Adam
     #                              everywhere. ~1.0 is the measured stable
     #                              optimum at mocap scale; 2.0+ destabilizes.
+    staged: bool = False         # mrd_svi: train via the two-phase
+    #                              structure-then-recalibrate recipe
+    #                              (train/mrd_recipe.py) — hot-hyper ARD
+    #                              separation, then frozen-ARD
+    #                              variance-reset calm recalibration.
+    #                              Required at c9 scale: single-phase
+    #                              runs either stay flat (calm) or end
+    #                              overconfident (hot); see
+    #                              results/c9_diag.json.
     ard_lr: float | None = None  # hot Adam rate for raw_ard ALONE
     #                              (train.loop.gp_optimizer): minibatch-SVI
     #                              ARD separation at big N needs ~30-100x
@@ -172,8 +181,8 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # O(n) RFF generator two_view_big.
     "c9_mrd_svi_bigN": ExperimentConfig(
         name="c9_mrd_svi_bigN", model="mrd_svi", dataset="two_view_big",
-        n=131072, d=64, q=4, m=32, views=(32, 32), steps=4000, lr=3e-3,
-        psi2_block=8192,
+        n=131072, d=64, q=4, m=32, views=(32, 32), steps=24000, lr=3e-3,
+        psi2_block=8192, staged=True,
     ),
 }
 

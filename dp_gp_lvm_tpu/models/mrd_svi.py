@@ -82,6 +82,21 @@ class Config(NamedTuple):
     view_dims: tuple = ()
 
 
+def config_from_experiment(cfg, batch: int | None = None) -> Config:
+    """The ONE construction of an mrd_svi.Config from a named
+    ExperimentConfig (core/config.py) — run.py trains with it and the
+    offline eval tools (experiments/c9_eval_sweep.py, c9_diag.py) load
+    exported params under it, so train/eval configs cannot drift (a
+    hand-built eval config that omitted `amortized` would silently
+    evaluate a recognition-network export in resident-table mode)."""
+    return Config(
+        num_latent=cfg.q, num_inducing=cfg.m, num_views=len(cfg.views),
+        batch=batch or 1024, psi2_block=cfg.psi2_block,
+        amortized=cfg.amortized, noise_floor=cfg.noise_floor,
+        qx_var_floor=cfg.qx_var_floor, view_dims=tuple(cfg.views),
+    )
+
+
 def _svi_config(config: Config) -> svi.Config:
     """The single-view config every per-view computation runs under."""
     return svi.Config(

@@ -68,12 +68,7 @@ def main():
     out = {}
     for path in sys.argv[1:]:
         params = jax.tree.map(jnp.asarray, load_params(path))
-        mcfg = mrd_svi.Config(
-            num_latent=cfg.q, num_inducing=cfg.m, num_views=len(cfg.views),
-            batch=1024, psi2_block=cfg.psi2_block, amortized=cfg.amortized,
-            noise_floor=cfg.noise_floor, qx_var_floor=cfg.qx_var_floor,
-            view_dims=tuple(cfg.views),
-        )
+        mcfg = mrd_svi.config_from_experiment(cfg)
         rel = np.asarray(mrd_svi.ard_relevance(params))
         m_s, s_s, trace = mrd_svi.infer_latent(
             params, {0: Y1_test}, mrd_svi._latent_init(

@@ -65,10 +65,7 @@ def main():
     Y2_train_mean = Y2[: cfg.n].mean(axis=0)
 
     params = load_params(args.npz)
-    mcfg = mrd_svi.Config(
-        num_latent=cfg.q, num_inducing=cfg.m, num_views=len(cfg.views),
-        psi2_block=cfg.psi2_block, noise_floor=cfg.noise_floor,
-    )
+    mcfg = mrd_svi.config_from_experiment(cfg)
 
     ones = jnp.ones_like(Y2_test)
     base = float(jnp.mean((Y2_train_mean - Y2_test) ** 2))

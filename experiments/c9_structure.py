@@ -59,7 +59,7 @@ def signature(ard):
 
 
 def run_variant(name, Ys, n_total, steps, batch, q, m, lr, amortized,
-                chunk=100):
+                chunk=100, opt_kwargs=None):
     cfg = mrd_svi.Config(
         num_latent=q, num_inducing=m, num_views=len(Ys), batch=batch,
         psi2_block=8192, amortized=amortized,
@@ -68,7 +68,8 @@ def run_variant(name, Ys, n_total, steps, batch, q, m, lr, amortized,
     )
     params = mrd_svi.init_params(jax.random.PRNGKey(2), list(Ys), cfg)
     slow = frozenset({"z"}) if amortized else frozenset()
-    opt = gp_optimizer(params, lr=lr, decay_steps=steps, slow=slow)
+    opt = gp_optimizer(params, lr=lr, decay_steps=steps, slow=slow,
+                       **(opt_kwargs or {}))
     step = mrd_svi.make_svi_natgrad_step(
         cfg, n_total, opt, rho=0.2,
         qu_trust=100.0 if amortized else None,
@@ -90,9 +91,12 @@ def run_variant(name, Ys, n_total, steps, batch, q, m, lr, amortized,
     t0 = time.perf_counter()
     done = 0
     last = None
+    nonfinite_chunks = 0
     while done < steps:
         state, losses = multi(state, jnp.int32(done))
         done += chunk
+        if not bool(np.all(np.isfinite(np.asarray(losses)))):
+            nonfinite_chunks += 1
         last = float(losses[-1])
     jax.block_until_ready(state.params["views"][0]["u_mean"])
     ard = np.asarray(mrd_svi.ard_relevance(state.params))
@@ -100,12 +104,94 @@ def run_variant(name, Ys, n_total, steps, batch, q, m, lr, amortized,
     row = {
         "steps": steps, "updates_per_row": steps * batch / n_total,
         "amortized": amortized, "final_loss": last,
+        "nonfinite_chunks": nonfinite_chunks,
         "ard_relevance": np.round(ard, 4).tolist(),
         "cross_private_ratio": [round(s, 4) for s in sig],
         "seconds": round(time.perf_counter() - t0, 1),
     }
     print(f"{name:16s} ratio={sig} ard={np.round(ard, 3).tolist()}",
           flush=True)
+    return row
+
+
+def serve_eval(params, cfg, Y1_test, Y2_test, Y2_train_mean):
+    """Cross-view serving metrics at proxy scale (observe view 0,
+    predict view 1) — the calibration read the staged recipe exists
+    for."""
+    from dp_gp_lvm_tpu.models import prediction
+
+    mean, var, *_ = mrd_svi.cross_view_predict(
+        params, {0: Y1_test}, 1, cfg, num_steps=300,
+    )
+    ones = jnp.ones_like(Y2_test)
+    mse = float(jnp.mean((mean - Y2_test) ** 2))
+    base = float(jnp.mean((Y2_train_mean - Y2_test) ** 2))
+    pll = float(prediction.gaussian_predictive_loglik(
+        Y2_test, mean, var, ones) / ones.size)
+    return {
+        "mse_ratio": round(mse / base, 4),
+        "pll_per_dim": round(pll, 4),
+        "calibration_ratio": round(mse / float(jnp.mean(var)), 3),
+        "pred_var_mean": round(float(jnp.mean(var)), 4),
+    }
+
+
+def run_staged(name, Ys, n_total, steps, batch, q, m, lr, holdout,
+               chunk=100):
+    """Drive the PRODUCTION two-phase recipe (train/mrd_recipe.py) at
+    proxy scale and read both the structure signature and the serving
+    calibration it exists to reconcile."""
+    from dp_gp_lvm_tpu.train import mrd_recipe
+
+    cfg = mrd_svi.Config(
+        num_latent=q, num_inducing=m, num_views=len(Ys), batch=batch,
+        psi2_block=8192,
+    )
+    nonfinite = {"chunks": 0}
+
+    def drive(step_fn, state, n_steps, rng_d, Y_cur, label="",
+              ck=None, ckpt_every=0):
+        def one(st, r):
+            st, mm = step_fn(st, r, Y_cur)
+            return st, mm["loss"]
+
+        @jax.jit
+        def multi(st, start):
+            keys = jax.vmap(lambda i: jax.random.fold_in(rng_d, i))(
+                start + jnp.arange(chunk)
+            )
+            return jax.lax.scan(one, st, keys)
+
+        t0 = time.perf_counter()
+        done = int(state.step)
+        while done < n_steps:
+            state, losses = multi(state, jnp.int32(done))
+            done += chunk
+            if not bool(np.all(np.isfinite(np.asarray(losses)))):
+                nonfinite["chunks"] += 1
+        jax.block_until_ready(losses)
+        return state, float("nan"), time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state, _, info = mrd_recipe.staged_mrd_svi(
+        jax.random.PRNGKey(2), jax.random.PRNGKey(100), Ys, cfg,
+        n_total, steps=steps, chunk=chunk, lr=lr, drive=drive,
+    )
+    ard = np.asarray(mrd_svi.ard_relevance(state.params))
+    sig = signature(ard)
+    Y1_test, Y2_test = holdout
+    row = {
+        "steps": steps, "recipe": info["recipe"],
+        "phase_a_steps": info["phase_a_steps"],
+        "phase_b_steps": info["phase_b_steps"],
+        "nonfinite_chunks": nonfinite["chunks"],
+        "ard_relevance": np.round(ard, 4).tolist(),
+        "cross_private_ratio": [round(s, 4) for s in sig],
+        "serving": serve_eval(state.params, cfg, Y1_test, Y2_test,
+                              Ys[1].mean(axis=0)),
+        "seconds": round(time.perf_counter() - t0, 1),
+    }
+    print(f"{name:16s} ratio={sig} serving={row['serving']}", flush=True)
     return row
 
 
@@ -120,11 +206,15 @@ def main():
     ap.add_argument("--variants", default="resident,resident_longer,amortized")
     args = ap.parse_args()
 
-    # same generator family/regime as c9 (q_shared=2, q_private=1, w=0.5)
+    # same generator family/regime as c9 (q_shared=2, q_private=1, w=0.5);
+    # +512 held-out rows for the staged variant's serving read
+    n_hold = 512
     Y1, Y2, _ = synthetic.two_view_big(
-        jax.random.PRNGKey(42), n=args.n, d1=32, d2=32,
+        jax.random.PRNGKey(42), n=args.n + n_hold, d1=32, d2=32,
         dtype=jnp.float32,
     )
+    holdout = (Y1[args.n:], Y2[args.n:])
+    Y1, Y2 = Y1[: args.n], Y2[: args.n]
     Ys = (Y1, Y2)
     q = 4
 
@@ -152,6 +242,19 @@ def main():
         elif v == "amortized_hot":
             rows[v] = run_variant(v, Ys, args.n, args.steps, args.batch,
                                   q, args.m, 2e-2, amortized=True)
+        elif v == "warmup_ard":
+            # VERDICT r4 item 4: the hot-ARD path under the (now
+            # default) warmup schedule must train NaN-free to
+            # separation — the cold-start mode NaN'd within 250 steps
+            # at c9 scale (deleted results/c9_ardlr)
+            rows[v] = run_variant(
+                v, Ys, args.n, args.steps, args.batch, q, args.m,
+                args.lr, amortized=False,
+                opt_kwargs={"ard_lr": 3e-2, "ngd_lr": 1.0},
+            )
+        elif v == "staged":
+            rows[v] = run_staged(v, Ys, args.n, args.steps, args.batch,
+                                 q, args.m, args.lr, holdout)
         else:
             raise SystemExit(f"unknown variant {v}")
 

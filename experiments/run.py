@@ -94,6 +94,10 @@ def main():
                          "--ckpt-every; bit-identical continuation), the "
                          "staged dp_svi recipe restarts at the first "
                          "incomplete stage from <out>/stages")
+    ap.add_argument("--staged", choices=("on", "off"), default=None,
+                    help="mrd_svi: override ExperimentConfig.staged "
+                         "(two-phase structure-then-recalibrate recipe, "
+                         "train/mrd_recipe.py)")
     ap.add_argument("--inject-nonfinite-at", type=int, default=None,
                     metavar="STEP",
                     help="fault injection (tests): treat chunk losses "
@@ -304,14 +308,7 @@ def main():
     elif cfg.model == "mrd_svi":
         from dp_gp_lvm_tpu.models import mrd_svi
 
-        mcfg = mrd_svi.Config(num_latent=cfg.q, num_inducing=cfg.m,
-                              num_views=len(cfg.views),
-                              batch=args.batch or 1024,
-                              psi2_block=cfg.psi2_block,
-                              amortized=cfg.amortized,
-                              noise_floor=cfg.noise_floor,
-                              qx_var_floor=cfg.qx_var_floor,
-                              view_dims=tuple(cfg.views))
+        mcfg = mrd_svi.config_from_experiment(cfg, batch=args.batch)
         init_fn = lambda k: mrd_svi.init_params(k, list(data), mcfg)
         params = init_fn(rng)
         loss_fn = None          # stochastic: custom minibatch loop below
@@ -345,6 +342,10 @@ def main():
     else:
         raise ValueError(cfg.model)
 
+    staged_mrd = cfg.model == "mrd_svi" and (
+        args.staged == "on" if args.staged is not None else cfg.staged
+    )
+
     mesh = None
     if args.mesh:
         from dp_gp_lvm_tpu.parallel import mesh as mesh_lib, recipe
@@ -355,11 +356,13 @@ def main():
             loss_fn, params, data = recipe.sharded_setup(
                 cfg.model, params, data, mcfg, mesh
             )
-        elif not (cfg.model == "dp_svi" and mcfg.truncation > 1):
+        elif not (cfg.model == "dp_svi" and mcfg.truncation > 1) and \
+                not (cfg.model == "mrd_svi" and staged_mrd):
             params, data = recipe.place_svi(cfg.model, params, data, mesh)
         # staged dp_svi (truncation > 1) defers placement: stage 1 trains
         # a truncation-1 model (atoms can't shard over "model" yet); the
         # split params are placed on the mesh before stage 2 below.
+        # staged mrd_svi defers too: the recipe re-inits and places.
 
     print(f"[{cfg.name}] data={tag} model={cfg.model} steps={steps} "
           f"device={jax.devices()[0].device_kind}"
@@ -524,6 +527,23 @@ def main():
                 steps=steps, chunk=chunk, lr=cfg.lr, ngd_lr=ngd_lr,
                 drive=drive, mesh=mesh,
                 ckpt_dir=os.path.join(out_dir, "stages"),
+                resume=args.resume,
+            )
+            per_step = rinfo.pop("per_step")
+            total = rinfo.pop("seconds")
+            result_extra.update(rinfo)
+        elif staged_mrd:
+            # two-phase structure-then-recalibrate recipe as a library
+            # call (train/mrd_recipe.py): hot-hyper ARD separation,
+            # then frozen-ARD variance-reset calm recalibration —
+            # single-phase c9 runs either stay flat (calm) or end
+            # overconfident (hot); results/c9_diag.json.
+            from dp_gp_lvm_tpu.train import mrd_recipe
+
+            state, optimizer, rinfo = mrd_recipe.staged_mrd_svi(
+                rng, rng_run, Y_res, mcfg, n_total,
+                steps=steps, chunk=chunk, lr=cfg.lr, drive=drive,
+                mesh=mesh, ckpt_dir=os.path.join(out_dir, "stages"),
                 resume=args.resume,
             )
             per_step = rinfo.pop("per_step")
@@ -805,6 +825,7 @@ def main():
         result["cross_view_mse_ratio"] = mse / base
         result["cross_view_pll_per_dim"] = pll
         result["cross_view_seconds"] = round(pred_s, 3)
+        result["calibration_ratio"] = mse / float(jnp.mean(var))
         # shared/private signature: per-view ARD weights (V, Q)
         result["ard_relevance"] = [
             [round(float(a), 6) for a in row] for row in rel
@@ -839,12 +860,17 @@ def main():
         result["cross_view_mse_ratio"] = mse / base
         result["cross_view_pll_per_dim"] = pll
         result["cross_view_seconds"] = round(pred_s, 3)
+        # calibration (VERDICT r4 item 7): mean squared error over mean
+        # predictive variance — ~1 when honest; c9's round-4
+        # overconfidence showed here as 17.8 long before PLL caught it
+        result["calibration_ratio"] = mse / float(jnp.mean(var))
         result["ard_relevance"] = [
             [round(float(a), 6) for a in row] for row in rel
         ]
         result["ard_cross_private_ratio"] = ard_cross_private_ratio(rel)
         print(f"[{cfg.name}] cross-view mse={mse:.4f} "
               f"(baseline {base:.4f}, ratio {mse/base:.3f}) pll={pll:.4f} "
+              f"calib={result['calibration_ratio']:.2f} "
               f"sig={result['ard_cross_private_ratio']:.4f} "
               f"({pred_s:.1f}s, served from q(u) alone)", flush=True)
 
@@ -864,6 +890,10 @@ def main():
             Y_test, mean, var, miss) / jnp.sum(miss))
         result["imputation_mse"] = mse
         result["predictive_loglik_per_dim"] = pll
+        # masked err^2 over masked predictive variance (~1 = honest)
+        result["calibration_ratio"] = mse / float(
+            jnp.sum(var * miss) / jnp.sum(miss)
+        )
         result["imputation_seconds"] = round(imp_s, 3)
         result["imputation_rows"] = int(Y_test.shape[0])
         print(f"[{cfg.name}] imputation mse={mse:.4f} pll={pll:.4f} "
@@ -887,6 +917,10 @@ def main():
             Y_test, mean, var, miss) / jnp.sum(miss))
         result["imputation_mse"] = mse
         result["predictive_loglik_per_dim"] = pll
+        # masked err^2 over masked predictive variance (~1 = honest)
+        result["calibration_ratio"] = mse / float(
+            jnp.sum(var * miss) / jnp.sum(miss)
+        )
         result["imputation_seconds"] = round(imp_s, 3)
         result["imputation_rows"] = int(Y_test.shape[0])
         print(f"[{cfg.name}] imputation mse={mse:.4f} pll={pll:.4f} "
@@ -916,6 +950,9 @@ def main():
         result["imputation_mse"] = mse
         result["imputation_mse_baseline"] = base
         result["predictive_loglik_per_dim"] = pll
+        result["calibration_ratio"] = mse / float(
+            jnp.sum(var * miss) / jnp.sum(miss)
+        )
         result["imputation_seconds"] = round(imp_s, 3)
         result["imputation_rows"] = int(Y_test.shape[0])
         print(f"[{cfg.name}] imputation mse={mse:.4f} "
