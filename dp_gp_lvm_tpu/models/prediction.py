@@ -150,6 +150,31 @@ def _expected_loglik(cache: PosteriorCache, y, mask, m_star, s_star,
     return jnp.sum(ll * mask)
 
 
+def _expected_loglik_per_point(cache: PosteriorCache, y, mask, m_star,
+                               s_star, kernel="ard_rbf"):
+    """(N*,) per-point expected log-likelihood sums (q(x*) factorizes per
+    test point, so the joint objective is separable — the per-point values
+    score multi-restart candidates independently)."""
+    p0, p1, p2 = _test_psi(cache, m_star, s_star, kernel)
+    mean = jnp.dot(p1, cache.w, precision=_HIGHEST)
+    tr_kinv, tr_sigma_b = _trace_terms(cache, p2)
+    quad = jnp.einsum("nij,id,jd->nd", p2, cache.w, cache.w,
+                      precision=_HIGHEST)
+    beta = 1.0 / cache.noise
+    sq = (
+        y * y
+        - 2.0 * y * mean
+        + quad
+        + (tr_sigma_b + p0 - tr_kinv)[:, None]
+    )
+    ll = -0.5 * (
+        jnp.log(2.0 * jnp.pi).astype(y.dtype)
+        + jnp.log(cache.noise)
+        + beta * sq
+    )
+    return jnp.sum(ll * mask, axis=-1)
+
+
 def init_latent_from_nearest(qx_mean, Y, y_star, mask):
     """m* init: latent mean of the masked-nearest training point."""
     d2 = jnp.sum(
@@ -159,8 +184,19 @@ def init_latent_from_nearest(qx_mean, Y, y_star, mask):
     return qx_mean[idx]
 
 
+def init_latent_knn(qx_mean, Y, y_star, mask, k: int):
+    """(k, N*, Q) inits: latent means of the k masked-nearest training
+    points — the candidate set for multi-restart latent inference."""
+    d2 = jnp.sum(
+        mask[:, None, :] * (y_star[:, None, :] - Y[None, :, :]) ** 2, axis=-1
+    )  # (N*, N)
+    _, idx = jax.lax.top_k(-d2, k)                     # (N*, k)
+    return jnp.swapaxes(qx_mean[idx], 0, 1)            # (k, N*, Q)
+
+
 def _fit_variational(
-    objective, var_params, num_steps, lr, tol=None, patience: int = 5
+    objective, var_params, num_steps, lr, tol=None, patience: int = 5,
+    anneal: bool = False,
 ):
     """Adam on a test-time variational objective inside one jitted scan.
 
@@ -175,9 +211,15 @@ def _fit_variational(
     convergence point, not the worst-case unroll (SURVEY.md section 3.3,
     which anticipated a while_loop-with-tolerance option).
 
+    anneal=True: cosine-decay the Adam rate lr -> 0 over num_steps (the
+    long-serving mode — a constant rate oscillates around the per-point
+    optimum instead of settling into it).
+
     Returns (fitted_params, objective_trace, steps_taken).
     """
-    opt = optax.adam(lr)
+    opt = optax.adam(
+        optax.cosine_decay_schedule(lr, max(num_steps, 1)) if anneal else lr
+    )
     vg = jax.value_and_grad(objective)
 
     if tol is None:
@@ -438,6 +480,7 @@ def mrd_infer_latent(
     lr: float = 0.05,
     kernel: str = "ard_rbf",
     tol: float | None = None,
+    anneal: bool = False,
 ):
     """Fit q(x*) from the observed views (dict view_index -> (N*, D_v))."""
     var_params = {
@@ -456,8 +499,59 @@ def mrd_infer_latent(
         kl = gaussian.kl_to_standard_normal(vp["m"], s)
         return -(ell - kl)
 
-    vp, trace, _ = _fit_variational(objective, var_params, num_steps, lr, tol)
+    vp, trace, _ = _fit_variational(objective, var_params, num_steps, lr,
+                                    tol, anneal=anneal)
     return vp["m"], positive(vp["raw_s"]), -trace
+
+
+def _per_point_objective(caches, items, m, s, kernel):
+    """(N*,) separable test-time ELBO: sum_v ELL_v(n) - KL(n)."""
+    ell = 0.0
+    for v_idx, y in items:
+        ell = ell + _expected_loglik_per_point(
+            caches[v_idx], y, jnp.ones_like(y), m, s, kernel
+        )
+    kl = 0.5 * jnp.sum(m * m + s - jnp.log(s) - 1.0, axis=-1)
+    return ell - kl
+
+
+def mrd_infer_latent_restarts(
+    caches,
+    observed: dict[int, jnp.ndarray],
+    m_inits,
+    num_steps: int = 200,
+    lr: float = 0.05,
+    kernel: str = "ard_rbf",
+    tol: float | None = None,
+    anneal: bool = False,
+):
+    """Multi-restart latent inference with PER-POINT selection.
+
+    m_inits: (K, N*, Q) candidate initializations (e.g. `init_latent_knn`
+    plus a prior-mean row). Each restart runs the same jitted Adam fit —
+    q(x*) factorizes over test points, so the joint objective is
+    separable and the best restart can be chosen independently per point
+    by its own test-time ELBO. Targets the local-optima failure mode of
+    single-init inference (a test point whose nearest training row's
+    latent sits in the wrong basin stays in that basin).
+
+    Returns (m (N*, Q), s (N*, Q), per_point_objective (N*,)).
+    """
+    items = sorted(observed.items())
+    fitted = []
+    for k in range(m_inits.shape[0]):
+        m_k, s_k, _ = mrd_infer_latent(
+            caches, observed, m_inits[k], num_steps, lr, kernel, tol,
+            anneal=anneal,
+        )
+        obj_k = _per_point_objective(caches, items, m_k, s_k, kernel)
+        fitted.append((m_k, s_k, obj_k))
+    ms = jnp.stack([f[0] for f in fitted])             # (K, N*, Q)
+    ss = jnp.stack([f[1] for f in fitted])
+    objs = jnp.stack([f[2] for f in fitted])           # (K, N*)
+    best = jnp.argmax(objs, axis=0)                    # (N*,)
+    n_idx = jnp.arange(ms.shape[1])
+    return ms[best, n_idx], ss[best, n_idx], objs[best, n_idx]
 
 
 def predict_view_from_views(
@@ -469,19 +563,39 @@ def predict_view_from_views(
     num_steps: int = 200,
     lr: float = 0.05,
     tol: float | None = None,
+    restarts: int = 0,
+    anneal: bool = False,
 ):
     """MRD cross-view prediction: observe some views of new points, infer
-    the shared q(x*), and predict the target view's mean/variance."""
+    the shared q(x*), and predict the target view's mean/variance.
+
+    restarts=K>0: run K+1 inference restarts (the K nearest training
+    rows' latents plus the prior mean) and keep the best PER POINT by
+    the test-time ELBO (mrd_infer_latent_restarts). anneal: cosine-decay
+    the inner Adam rate (long-serving mode)."""
     caches = mrd_posterior(params, Ys, config)
     n_star = next(iter(observed.values())).shape[0]
     # init from nearest training point in the first observed view
     v0, y0 = sorted(observed.items())[0]
-    m0 = init_latent_from_nearest(
-        params["qx_mean"], Ys[v0], y0, jnp.ones_like(y0)
-    )
-    m_s, s_s, trace = mrd_infer_latent(
-        caches, observed, m0, num_steps, lr, kernel=config.kernel, tol=tol
-    )
+    if restarts > 0:
+        m_knn = init_latent_knn(
+            params["qx_mean"], Ys[v0], y0, jnp.ones_like(y0), restarts
+        )
+        m_inits = jnp.concatenate(
+            [m_knn, jnp.zeros_like(m_knn[:1])], axis=0
+        )
+        m_s, s_s, trace = mrd_infer_latent_restarts(
+            caches, observed, m_inits, num_steps, lr,
+            kernel=config.kernel, tol=tol, anneal=anneal,
+        )
+    else:
+        m0 = init_latent_from_nearest(
+            params["qx_mean"], Ys[v0], y0, jnp.ones_like(y0)
+        )
+        m_s, s_s, trace = mrd_infer_latent(
+            caches, observed, m0, num_steps, lr, kernel=config.kernel,
+            tol=tol, anneal=anneal,
+        )
     mean, var = predict_from_latent(
         caches[target_view], m_s, s_s, kernel=config.kernel
     )

@@ -83,6 +83,7 @@ def gp_optimizer(
     ngd_lr: float | None = None,
     ard_lr: float | None = None,
     ard_warmup: int | None = None,
+    hyper_warmup: int | None = None,
     freeze: frozenset = frozenset(),
     slow: frozenset = frozenset(),
 ) -> optax.GradientTransformation:
@@ -117,15 +118,29 @@ def gp_optimizer(
                 ngd_lr, decay_steps, alpha=0.05
             )
         lr = optax.cosine_decay_schedule(lr, decay_steps, alpha=0.05)
-        hyper_lr = optax.cosine_decay_schedule(
-            hyper_lr, decay_steps, alpha=0.05
-        )
+        if hyper_warmup:
+            # hot-hyper phases (mrd_recipe phase A) ramp the hyper rate
+            # from 0: the full-scale c9 staged run at a cold-started hot
+            # rate went non-finite by step ~750 (aborted run, 2026-08-20)
+            hyper_lr = optax.warmup_cosine_decay_schedule(
+                0.0, hyper_lr, hyper_warmup, decay_steps,
+                end_value=0.05 * hyper_lr,
+            )
+        else:
+            hyper_lr = optax.cosine_decay_schedule(
+                hyper_lr, decay_steps, alpha=0.05
+            )
         if ard_lr is not None:
             # warmup matters here: a hot ARD rate from a COLD start
             # (q(u), q(X) uninformed) NaNs within 250 steps at c9 scale
-            # (elbo -6e12 by step 249, ard_lr=0.03 + NGD rho=1.0);
-            # proven NaN-free to ARD separation at 8k-row proxy scale
-            # with the ramped peak (results/c9_structure.json warmup row)
+            # and never recovers (elbo -6e12 by step 249, ard_lr=0.03 +
+            # NGD rho=1.0). With the ramp the proxy-scale run separates
+            # the ARD (ratio 0.35/0.14) and ends finite, but still logs
+            # 6/20 transient non-finite chunks that apply_if_finite
+            # skips (results/c9_structure.json warmup_ard row) — the
+            # dial remains experimental; the PRODUCTION structure path
+            # is the staged recipe (train/mrd_recipe.py), which heats
+            # all hypers gently instead and measures 0 bad chunks.
             warm = (ard_warmup if ard_warmup is not None
                     else min(2000, decay_steps // 10))
             ard_lr = optax.warmup_cosine_decay_schedule(

@@ -22,10 +22,16 @@ diagnosis, results/c9_diag.json):
 
 The recipe therefore splits the run:
 
-1. **Phase A (structure, default 2/3 of the budget)**: hot hypers
-   (hyper_lr = `hot_mult` * lr instead of the calm lr/10) drive the
-   shared/private ARD signature apart; calibration is knowingly
-   sacrificed.
+1. **Phase A (structure, default 2/3 of the budget)**: the WHOLE model
+   runs hot (`hot_lr`, default 2e-2, hypers at hot_lr/10 with a warmup
+   ramp) — the exact regime results/c9_long measured at c9 scale:
+   finite over 16k steps and separated to ratio 0.375. Heating only
+   the hypers at calm-lr multiples was tried at full scale and came up
+   short both ways: 10x diverged from a cold start (first aborted
+   c9_r5), hypers-at-lr separated only to 0.70 in the full 16k-step
+   phase (second c9_r5) — the latents must move WITH the relevance
+   weights for the signature to form. Calibration is knowingly
+   sacrificed in this phase.
 2. **Phase B (recalibrate, the rest)**: freeze the separated `raw_ard`
    AND `raw_variance` (reset per view to `reset_variance` — the
    calibrated equilibrium the calm runs find, c9_ngd: 0.40), reset
@@ -145,7 +151,7 @@ def staged_mrd_svi(
     mesh=None,
     ckpt_dir: str | None = None,
     resume: bool = False,
-    hot_mult: float = 100.0,
+    hot_lr: float = 2e-2,
     phase_a_frac: float = 2.0 / 3.0,
     reset_variance: float = 0.4,
     reset_noise: float = 0.25,
@@ -156,16 +162,16 @@ def staged_mrd_svi(
     Returns (state, optimizer, info) — the dp_recipe.staged_dp_svi
     contract; `drive` is the caller-owned chunked dispatch loop.
 
-    hot_mult: phase-A hyper rate as a multiple of lr (default 100 => the
-    10x-hot hyper_lr = lr/10 * 100 regime measured to separate the ARD
-    at c9 scale, results/c9_long)."""
+    hot_lr: phase-A learning rate for ALL params (hypers at hot_lr/10,
+    ramped from 0 over the first tenth of the phase). Default 2e-2 =
+    the c9_long regime (module docstring)."""
     from dp_gp_lvm_tpu.models import mrd_svi
     from dp_gp_lvm_tpu.train.loop import gp_optimizer, init_state
 
     p = plan(steps, chunk, phase_a_frac)
     sa, sb = p["phase_a_steps"], p["phase_b_steps"]
     info: dict = {"phase_a_steps": sa, "phase_b_steps": sb,
-                  "recipe": RECIPE, "hot_mult": hot_mult,
+                  "recipe": RECIPE, "hot_lr": hot_lr,
                   "reset_variance": reset_variance,
                   "reset_noise": reset_noise}
 
@@ -182,8 +188,8 @@ def staged_mrd_svi(
 
             params, Ys = recipe.place_svi("mrd_svi", params, tuple(Ys),
                                           mesh)
-        opt_a = gp_optimizer(params, lr=lr, hyper_lr=lr / 10.0 * hot_mult,
-                             decay_steps=sa)
+        opt_a = gp_optimizer(params, lr=hot_lr, hyper_lr=hot_lr / 10.0,
+                             decay_steps=sa, hyper_warmup=max(1, sa // 10))
         step_a = mrd_svi.make_svi_natgrad_step(
             config, n_total, opt_a, rho=rho, mesh=mesh,
         )

@@ -995,6 +995,12 @@ def main():
     elif cfg.model == "dp_svi":
         export_npz(os.path.join(out_dir, "params.npz"),
                    dict(state.params))
+    elif cfg.model == "mrd":
+        # RAW params: the cross-view serving entry
+        # (prediction.predict_view_from_views) takes raw leaves — the
+        # export feeds experiments/c3_serving_sweep.py directly.
+        export_npz(os.path.join(out_dir, "params.npz"),
+                   dict(state.params))
     elif cfg.model in ("svi_gplvm", "mrd_svi"):
         # RAW params (like dp_svi): the SVI serving entry points
         # (impute / cross_view_predict / the serving factories) take

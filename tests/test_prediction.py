@@ -197,3 +197,93 @@ def test_serving_mrd_cross_view_predictor():
     mean, var = predictor(Y1[:5])
     assert mean.shape == (5, 4)
     assert bool(jnp.all(jnp.isfinite(mean))) and bool(jnp.all(var > 0))
+
+
+@pytest.fixture(scope="module")
+def trained_mrd_twoview():
+    """Tiny trained MRD for the serving-inference tests (shared across
+    the restart/anneal cases — training dominates their cost)."""
+    from dp_gp_lvm_tpu.models import mrd
+
+    rng = jax.random.PRNGKey(31)
+    Y1, Y2, _ = synthetic.two_view(
+        rng, n=60, d1=6, d2=6, q_shared=2, q_private=1, noise=0.01
+    )
+    Y1_tr, Y1_te = Y1[:48], Y1[48:]
+    Y2_tr, Y2_te = Y2[:48], Y2[48:]
+    cfg = mrd.Config(num_latent=4, num_inducing=12, num_views=2)
+    params = mrd.init_params(jax.random.PRNGKey(32), [Y1_tr, Y2_tr], cfg)
+    params, _ = fit(
+        lambda p, a, b: mrd.loss(p, [a, b], cfg), params, (Y1_tr, Y2_tr),
+        300, lr=2e-2,
+    )
+    return params, (Y1_tr, Y2_tr), (Y1_te, Y2_te), cfg
+
+
+def test_per_point_loglik_sums_to_joint(trained_mrd_twoview):
+    """The test-time objective is separable per point: the per-point
+    expected-loglik rows must sum exactly to the joint value the
+    optimizer uses (same math, different reduction)."""
+    params, (Y1_tr, Y2_tr), (Y1_te, _), cfg = trained_mrd_twoview
+    caches = prediction.mrd_posterior(params, [Y1_tr, Y2_tr], cfg)
+    m0 = prediction.init_latent_from_nearest(
+        params["qx_mean"], Y1_tr, Y1_te, jnp.ones_like(Y1_te)
+    )
+    s0 = 0.1 * jnp.ones_like(m0)
+    mask = jnp.ones_like(Y1_te)
+    joint = prediction._expected_loglik(caches[0], Y1_te, mask, m0, s0)
+    per_point = prediction._expected_loglik_per_point(
+        caches[0], Y1_te, mask, m0, s0
+    )
+    assert per_point.shape == (Y1_te.shape[0],)
+    np.testing.assert_allclose(
+        float(jnp.sum(per_point)), float(joint), rtol=1e-6
+    )
+
+
+def test_restart_inference_dominates_single_init(trained_mrd_twoview):
+    """Per-point best-of-restarts must be >= the single nearest-init fit
+    on the per-point objective for EVERY test point: candidate 0 of the
+    kNN init set IS the nearest init, so its fitted solution is available
+    to the argmax (the selection can only improve)."""
+    params, (Y1_tr, Y2_tr), (Y1_te, _), cfg = trained_mrd_twoview
+    caches = prediction.mrd_posterior(params, [Y1_tr, Y2_tr], cfg)
+    observed = {0: Y1_te}
+    ones = jnp.ones_like(Y1_te)
+    m0 = prediction.init_latent_from_nearest(
+        params["qx_mean"], Y1_tr, Y1_te, ones
+    )
+    m_b, s_b, _ = prediction.mrd_infer_latent(caches, observed, m0, 80)
+    obj_b = prediction._per_point_objective(
+        caches, sorted(observed.items()), m_b, s_b, "ard_rbf"
+    )
+    m_knn = prediction.init_latent_knn(
+        params["qx_mean"], Y1_tr, Y1_te, ones, 3
+    )
+    # knn candidate 0 == the nearest init
+    np.testing.assert_allclose(np.asarray(m_knn[0]), np.asarray(m0))
+    m_inits = jnp.concatenate([m_knn, jnp.zeros_like(m_knn[:1])], axis=0)
+    m_r, s_r, obj_r = prediction.mrd_infer_latent_restarts(
+        caches, observed, m_inits, 80
+    )
+    assert m_r.shape == m0.shape and s_r.shape == m0.shape
+    assert bool(jnp.all(obj_r >= obj_b - 1e-4)), (
+        np.asarray(obj_r - obj_b),
+    )
+
+
+def test_predict_view_restarts_and_anneal(trained_mrd_twoview):
+    """The extended serving entry runs with restarts+anneal and still
+    beats the column-mean baseline."""
+    params, (Y1_tr, Y2_tr), (Y1_te, Y2_te), cfg = trained_mrd_twoview
+    mean, var, *_ = prediction.predict_view_from_views(
+        params, [Y1_tr, Y2_tr], cfg, observed={0: Y1_te}, target_view=1,
+        num_steps=120, restarts=3, anneal=True,
+    )
+    err_model = float(jnp.mean((mean - Y2_te) ** 2))
+    col = jnp.mean(Y2_tr, axis=0, keepdims=True)
+    err_base = float(jnp.mean(
+        (jnp.broadcast_to(col, Y2_te.shape) - Y2_te) ** 2
+    ))
+    assert err_model < err_base, (err_model, err_base)
+    assert bool(jnp.all(var > 0))
