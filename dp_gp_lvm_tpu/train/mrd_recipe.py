@@ -116,12 +116,29 @@ def _load_boundary(ckpt_dir: str) -> dict:
         return out
 
 
-def recalibrated(params, reset_variance: float, reset_noise: float):
+def recalibrated(params, reset_variance: float, reset_noise: float,
+                 qx_reexpand: float = 0.05):
     """Phase-B boundary surgery: per view, reset sigma_f^2 and noise to
     calibrated levels, rescaling the whitened q(u^v) mean so the
     predictive mean is INVARIANT at the boundary (f = Psi1 Kuu^{-1/2} m
     with Psi1 ~ sigma_f^2 and Kuu^{-1/2} ~ 1/sigma_f, so f ~ sigma_f m:
-    m must shrink by sqrt(old/new))."""
+    m must shrink by sqrt(old/new)).
+
+    qx_reexpand: floor the resident q(X) variance at this value at the
+    boundary. The hot phase leaves the latents nearly interpolating
+    (qx_var ~ 0.006, results/c9_long) — with sigma_f^2 then frozen, the
+    noise is the only temperature left in phase B and it ran away to a
+    +3.6e6 'bound' and NaN at full scale (aborted c9_r5 #2, 2026-08-20)
+    before this re-expansion and the config noise floor existed."""
+    from dp_gp_lvm_tpu.core.transforms import MIN_VARIATIONAL_VAR
+
+    params = dict(params)
+    if qx_reexpand and "raw_qx_var" in params:
+        raw_floor = positive_inverse(
+            jnp.asarray(qx_reexpand - MIN_VARIATIONAL_VAR,
+                        params["raw_qx_var"].dtype)
+        )
+        params["raw_qx_var"] = jnp.maximum(params["raw_qx_var"], raw_floor)
     views = []
     for vp in params["views"]:
         var_old = positive(vp["raw_variance"])
