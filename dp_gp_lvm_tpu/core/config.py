@@ -230,6 +230,9 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
         # views. Measured 0.0016 on the committed artifact; flat
         # relevance = 1.0.
         "ard_cross_private_ratio": ("<=", 0.05),
+        # calibration (round-4 verdict item 7): err^2 / mean predictive
+        # variance, measured 1.06 on the refreshed artifact
+        "calibration_ratio": [(">=", 0.2), ("<=", 5.0)],
     },
     # calibrated on the 2026-08-17 NGD run: elbo +10075
     "c4_dp_mocap": {
@@ -241,12 +244,18 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
     "c5_dp_missing": {
         "imputation_mse": ("<=", 0.01),
         "predictive_loglik_per_dim": (">=", 0.3),
+        # calibration: measured 0.038 — the interpolation holdout is far
+        # easier than the learned noise implies (honest underconfidence);
+        # the gate exists to catch c9-style OVERconfidence (17.8)
+        "calibration_ratio": [(">=", 0.005), ("<=", 5.0)],
     },
     # calibrated on the 2026-08-17 NGD run: mse 0.095, pll/dim -0.076
     # (16 of 32 keypoint dims imputed on the FK pose surrogate)
     "c5_pose_missing": {
         "imputation_mse": ("<=", 0.15),
         "predictive_loglik_per_dim": (">=", -0.2),
+        # calibration: measured 1.37
+        "calibration_ratio": [(">=", 0.2), ("<=", 5.0)],
     },
     # calibrated on the 2026-08-17 TPU run: mse 0.025, pll -0.49,
     # 328k rows/s through the tunneled chip (per-chunk dispatch latency
@@ -261,6 +270,9 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
         # on the 2026-08-17 run (-5.41e6); an optimizer regression that
         # imputation happens to survive trips this first.
         "elbo": (">=", -6.0e6),
+        # calibration: measured 0.074 (same honest-underconfidence regime
+        # as c5 — noise dominates the predictive variance)
+        "calibration_ratio": [(">=", 0.01), ("<=", 5.0)],
     },
     # calibrated on the 2026-08-17 TPU runs of the 3-phase split-init
     # recipe (elbo -4.32e6, purity_min 0.75, 4/4 distinct atoms,
@@ -291,6 +303,8 @@ CHECKS: dict[str, dict[str, tuple[str, float]]] = {
         # Gaussian LL at ~2.9 nats; N*d = 4.2e6 points -> any valid bound
         # is <= ~1.2e7) yet would have passed a lower-bound-only gate.
         "elbo": [(">=", -1.35e6), ("<=", 1.2e7)],
+        # calibration: measured 0.073
+        "calibration_ratio": [(">=", 0.01), ("<=", 5.0)],
     },
     # calibrated from the first gate-passing TPU artifact (2026-08-20,
     # staged structure-then-recalibrate recipe): mse_ratio 0.429,
