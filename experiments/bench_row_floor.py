@@ -34,18 +34,34 @@ import numpy as np
 N, D, Q, M, T = 1024, 60, 10, 64, 20
 
 
-def timed(fn, args, steps=30, warmup=3):
-    """Dependency-chained timing: each call consumes the previous
-    output's data (param-chained), so the relay cache cannot serve
-    repeats and the device pipeline stays honest."""
-    out = None
-    for _ in range(warmup):
-        out, args = fn(*args)
-    jax.block_until_ready(out)
+def timed(fn, args, steps=200):
+    """Seconds/step via a chained lax.scan — ONE timed dispatch.
+
+    A python-level chained loop is NOT honest here even with distinct
+    inputs: the relay's async queue absorbs ~30-60 in-flight dispatches,
+    so a 30-call loop measures enqueue time (0.16 'ms/step' for a step
+    whose analytic MXU floor is 1.8 ms — measured 2026-08-20; the same
+    loop at 300 calls reads the true ~4.5 ms/step). The scan carries the
+    data dependency inside one jit (roofline.timed_scan discipline) and
+    the timed call consumes the warmup call's output, so its input
+    values differ from anything the relay has seen."""
+    @jax.jit
+    def loop(c):
+        def body(c, _):
+            _, c2 = fn(*c)
+            return c2, None
+        c, _ = jax.lax.scan(body, c, None, length=steps)
+        return c
+
+    c = loop(args)                           # compile + warmup run
+    # block on the WHOLE carry: blocking one leaf can hit a
+    # loop-invariant input (e.g. Y) that XLA aliases straight to the
+    # output — "ready" instantly while the rest still computes
+    # (measured: 0.001 ms/step from exactly that mistake)
+    jax.block_until_ready(c)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out, args = fn(*args)
-    jax.block_until_ready(out)
+    c = loop(c)
+    jax.block_until_ready(c)
     return (time.perf_counter() - t0) / steps
 
 
