@@ -35,14 +35,18 @@ def build(dtype_str: str, ngd: bool = False):
     from dp_gp_lvm_tpu.models import dp_gp_lvm
 
     dtype = jnp.float64 if dtype_str == "f64" else jnp.float32
-    # psi2_block=None (single shot): at this scale XLA pipelines the full
-    # (T, N, M, M) tile better than a serialized scan (measured: 5.2 vs
-    # 9.5 ms/step); blocks matter only when the tile exceeds HBM.
+    # psi2_block=256: under the honest scan-context protocol, 4 blocks
+    # of (T, 256, M, M) (84 MB workspace each) beat the single-shot
+    # 335 MB tile by ~4% (4.67 vs 4.88 ms/step, 3x repeated A/B
+    # 2026-08-20) — better HBM residency inside the scan. The earlier
+    # "single shot wins 5.2 vs 9.5" comparison was python-loop timing
+    # of a much smaller block. f64 CPU baseline keeps the same config
+    # (blockwise accumulation is exact — test_psi blockwise oracle).
     # escalating-jitter policy (fast_chol off): the recommended long-run
     # training configuration — Cholesky failures self-repair instead of
     # freezing the step (see train.loop.gp_optimizer docstring)
     config = dp_gp_lvm.Config(
-        num_latent=Q, num_inducing=M, truncation=T, psi2_block=None,
+        num_latent=Q, num_inducing=M, truncation=T, psi2_block=256,
     )
     rng = jax.random.PRNGKey(0)
     Y, _ = synthetic.mocap_like(rng, n=N, d=D, dtype=dtype)
@@ -68,6 +72,8 @@ def build(dtype_str: str, ngd: bool = False):
 
 
 def time_step(dtype_str: str, steps: int, ngd: bool = False) -> float:
+    """Legacy python-loop protocol (kept for the f64-CPU baseline, where
+    the device is local and a 20-call chained loop is honest)."""
     import jax
 
     step, params, opt_state, Y = build(dtype_str, ngd)
@@ -80,6 +86,43 @@ def time_step(dtype_str: str, steps: int, ngd: bool = False) -> float:
     loss.block_until_ready()
     dt = (time.perf_counter() - t0) / steps
     assert bool(jax.numpy.isfinite(loss)), f"non-finite final loss {loss}"
+    return dt
+
+
+def time_step_scan(dtype_str: str, ngd: bool = False, chunk: int = 100,
+                   chunks: int = 6) -> float:
+    """Headline protocol (round 5): chunked chained lax.scan with a
+    per-chunk VALUE fetch — the production training context
+    (train.loop.make_multi_step_fn drives every real run through scan
+    chunks) and the only protocol that survives the relay (CLAUDE.md
+    'Benchmarking on the axon tunnel'): a 20-call python loop pays ~1 ms
+    of per-dispatch tunnel overhead (5.9 ms/step where this protocol and
+    completed-run wall clocks agree on 4.9), and block_until_ready
+    without a value fetch does not reliably wait for compute at all
+    (0.001 'ms/step' measured)."""
+    import jax
+    import jax.numpy as jnp
+
+    step, params, opt_state, Y = build(dtype_str, ngd)
+
+    @jax.jit
+    def loop(c):
+        def body(c, _):
+            p, o, loss = step(*c)
+            return (p, o, c[2]), loss
+        return jax.lax.scan(body, c, None, length=chunk)
+
+    c, losses = loop((params, opt_state, Y))   # compile + warmup chunk
+    last = float(losses[-1])                   # sync: actual value fetch
+    assert last == last, f"non-finite warmup loss {last}"
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(chunks - 1):
+        c, losses = loop(c)
+        last = float(losses[-1])
+        n += chunk
+    dt = (time.perf_counter() - t0) / n
+    assert last == last, f"non-finite final loss {last}"
     return dt
 
 
@@ -100,7 +143,9 @@ def cpu_baseline_ms() -> float:
             .hexdigest()[:8]
     except OSError:
         host = "unknown"
-    key = f"N{N}_D{D}_Q{Q}_M{M}_T{T}_{host}"
+    # B256: psi2_block is part of the program being compared — a
+    # baseline measured under another block config is not same-math
+    key = f"N{N}_D{D}_Q{Q}_M{M}_T{T}_B256_{host}"
     if os.path.exists(cache):
         try:
             data = json.load(open(cache))
@@ -175,11 +220,15 @@ def main():
     import jax
 
     device_kind = jax.devices()[0].device_kind
-    secs = time_step("f32", STEPS)
+    secs = time_step_scan("f32")
     ms = secs * 1e3
+    # the round 1-4 python-loop protocol, kept so the headline's
+    # methodology change is visible in the artifact (it reads ~1 ms/step
+    # higher: per-dispatch tunnel overhead, not device time)
+    loop_ms = time_step("f32", STEPS) * 1e3
     # the production (NGD) step time, reported alongside the headline so
     # delivered throughput is not overstated (VERDICT r2 weak item 3)
-    ngd_ms = time_step("f32", STEPS, ngd=True) * 1e3
+    ngd_ms = time_step_scan("f32", ngd=True) * 1e3
     try:
         base_ms = cpu_baseline_ms()
         vs = base_ms / ms
@@ -197,7 +246,7 @@ def main():
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cpu_baseline.json")
         entries = [v for k, v in json.load(open(cache)).items()
-                   if k.startswith(f"N{N}_D{D}_Q{Q}_M{M}_T{T}_")]
+                   if k.startswith(f"N{N}_D{D}_Q{Q}_M{M}_T{T}_B256_")]
         if entries:
             vs_range = [round(min(entries) / ms, 2),
                         round(max(entries) / ms, 2)]
@@ -216,6 +265,9 @@ def main():
         "vs_baseline_all_hosts": vs_range,
         "device": device_kind,
         "ngd_step_ms": round(ngd_ms, 3),
+        "dispatch_loop_ms": round(loop_ms, 3),
+        "timing_protocol": "chunked-scan fetch-to-fetch (r5); "
+                           "dispatch_loop_ms is the r1-r4 python loop",
         "tflops_achieved": round(util["tflops_achieved"], 3),
         "mfu_pct_vs_f32_peak": round(util["mfu_pct"], 2),
         "roofline_pct": round(util["roofline_pct"], 1),

@@ -34,35 +34,36 @@ import numpy as np
 N, D, Q, M, T = 1024, 60, 10, 64, 20
 
 
-def timed(fn, args, steps=200):
-    """Seconds/step via a chained lax.scan — ONE timed dispatch.
+def timed(fn, args, chunk=100, chunks=6):
+    """Seconds/step via chunked chained lax.scan with a per-chunk VALUE
+    fetch — the exact protocol of run.py's drive() loop, whose chunk
+    wall times are corroborated by total run wall clocks (c9: 0.74 s
+    per 250-step chunk = 2.97 ms/step, 24k steps in 232 s).
 
-    A python-level chained loop is NOT honest here even with distinct
-    inputs: the relay's async queue absorbs ~30-60 in-flight dispatches,
-    so a 30-call loop measures enqueue time (0.16 'ms/step' for a step
-    whose analytic MXU floor is 1.8 ms — measured 2026-08-20; the same
-    loop at 300 calls reads the true ~4.5 ms/step). The scan carries the
-    data dependency inside one jit (roofline.timed_scan discipline) and
-    the timed call consumes the warmup call's output, so its input
-    values differ from anything the relay has seen."""
+    Nothing weaker survives this relay (all measured 2026-08-20):
+    a short chained python loop measures enqueue (0.16 "ms/step" vs a
+    1.8 ms analytic floor); `block_until_ready` does NOT reliably wait
+    for compute on carry-only or even stacked-output scan programs
+    (0.001 "ms/step"); a single end-of-window fetch folds one warmup's
+    leftover work into the window. Fetch-to-fetch chunking is the one
+    protocol that agrees with completed-run wall clocks.
+    """
     @jax.jit
     def loop(c):
         def body(c, _):
-            _, c2 = fn(*c)
-            return c2, None
-        c, _ = jax.lax.scan(body, c, None, length=steps)
-        return c
+            out, c2 = fn(*c)
+            return c2, jnp.sum(out)
+        return jax.lax.scan(body, c, None, length=chunk)
 
-    c = loop(args)                           # compile + warmup run
-    # block on the WHOLE carry: blocking one leaf can hit a
-    # loop-invariant input (e.g. Y) that XLA aliases straight to the
-    # output — "ready" instantly while the rest still computes
-    # (measured: 0.001 ms/step from exactly that mistake)
-    jax.block_until_ready(c)
+    c, outs = loop(args)                 # compile + warmup chunk
+    float(outs[-1])                      # sync: actual value fetch
     t0 = time.perf_counter()
-    c = loop(c)
-    jax.block_until_ready(c)
-    return (time.perf_counter() - t0) / steps
+    n = 0
+    for _ in range(chunks - 1):
+        c, outs = loop(c)
+        float(outs[-1])
+        n += chunk
+    return (time.perf_counter() - t0) / n
 
 
 def build_step(use_pallas):
