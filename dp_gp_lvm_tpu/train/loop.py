@@ -134,13 +134,14 @@ def gp_optimizer(
             # warmup matters here: a hot ARD rate from a COLD start
             # (q(u), q(X) uninformed) NaNs within 250 steps at c9 scale
             # and never recovers (elbo -6e12 by step 249, ard_lr=0.03 +
-            # NGD rho=1.0). With the ramp the proxy-scale run separates
-            # the ARD (ratio 0.35/0.14) and ends finite, but still logs
-            # 6/20 transient non-finite chunks that apply_if_finite
-            # skips (results/c9_structure.json warmup_ard row) — the
-            # dial remains experimental; the PRODUCTION structure path
-            # is the staged recipe (train/mrd_recipe.py), which heats
-            # all hypers gently instead and measures 0 bad chunks.
+            # NGD rho=1.0). Proxy-scale evidence for the ramped dial
+            # (results/c9_structure.json): at peak 3e-2/short ramp the
+            # run separates (0.35/0.14) but logs 6/20 transient
+            # non-finite chunks that apply_if_finite skips; at peak
+            # 1.5e-2 with a 600-step ramp it separates (0.44/0.16) with
+            # ZERO bad chunks (warmup_ard_gentle row) — prefer the
+            # gentle setting. The PRODUCTION structure path for c9
+            # remains the staged recipe (train/mrd_recipe.py).
             warm = (ard_warmup if ard_warmup is not None
                     else min(2000, decay_steps // 10))
             ard_lr = optax.warmup_cosine_decay_schedule(

@@ -252,6 +252,17 @@ def main():
                 args.lr, amortized=False,
                 opt_kwargs={"ard_lr": 3e-2, "ngd_lr": 1.0},
             )
+        elif v == "warmup_ard_gentle":
+            # the 3e-2 peak above ends separated but logs 6/20 transient
+            # non-finite chunks (skipped by apply_if_finite); this
+            # half-peak, 3x-longer-ramp variant probes whether the dial
+            # can run CLEAN at proxy scale
+            rows[v] = run_variant(
+                v, Ys, args.n, args.steps, args.batch, q, args.m,
+                args.lr, amortized=False,
+                opt_kwargs={"ard_lr": 1.5e-2, "ngd_lr": 1.0,
+                            "ard_warmup": 600},
+            )
         elif v == "staged":
             rows[v] = run_staged(v, Ys, args.n, args.steps, args.batch,
                                  q, args.m, args.lr, holdout)
