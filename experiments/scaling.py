@@ -31,6 +31,9 @@ from dp_gp_lvm_tpu.models import dp_gp_lvm
 # VMEM-safe blocks
 SIZES = [
     (1024, 60, 10, 64, 20, None),      # BASELINE headline (CMU mocap scale)
+    (1024, 60, 10, 64, 20, 256),       # headline @ psi2_block=256 (bench.py
+    #                                    config: 4x84MB blocks beat the
+    #                                    335MB single shot in scan context)
     (4096, 60, 10, 64, 20, None),      # 4x data
     (8192, 120, 10, 128, 20, None),    # 8x data, 2x dims, 2x inducing
     (16384, 120, 16, 128, 20, None),   # 16x data, wider latent
@@ -39,7 +42,14 @@ SIZES = [
 ]
 
 
-def measure(n, d, q, m, t, blk, steps=20):
+def measure(n, d, q, m, t, blk, chunk=50, min_timed_s=2.0, max_chunks=5):
+    """Chunked-scan fetch-to-fetch protocol (round 5; see CLAUDE.md
+    'Benchmarking on the axon tunnel'): the r1-r4 python-loop numbers
+    carried ~1 ms/step of tunnel dispatch overhead on the small rows,
+    and block_until_ready alone does not reliably wait for compute —
+    each chunk ends in an actual value fetch. Timed chunks accumulate
+    until >= min_timed_s of wall (bias from the per-chunk fetch round
+    trip stays under ~4% at the smallest row, <1% elsewhere)."""
     cfg = dp_gp_lvm.Config(
         num_latent=q, num_inducing=m, truncation=t, psi2_block=blk,
         fast_chol=True,
@@ -51,20 +61,30 @@ def measure(n, d, q, m, t, blk, steps=20):
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(p, s):
-        loss, g = jax.value_and_grad(lambda x: dp_gp_lvm.loss(x, Y, cfg))(p)
-        up, s = opt.update(g, s)
-        return optax.apply_updates(p, up), s, loss
+    def loop(c):
+        def body(c, _):
+            p, s = c
+            loss, g = jax.value_and_grad(
+                lambda x: dp_gp_lvm.loss(x, Y, cfg)
+            )(p)
+            up, s = opt.update(g, s)
+            return (optax.apply_updates(p, up), s), loss
+        return jax.lax.scan(body, c, None, length=chunk)
 
-    p, s, loss = step(params, opt_state)
-    loss.block_until_ready()
-    assert bool(jnp.isfinite(loss)), (n, d, q, m, t)
+    c, losses = loop((params, opt_state))     # compile + warmup chunk
+    loss = float(losses[-1])                  # sync: value fetch
+    assert loss == loss, (n, d, q, m, t)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        p, s, loss = step(p, s)
-    loss.block_until_ready()
+    steps = 0
+    while steps < chunk * max_chunks and (
+        steps == 0 or time.perf_counter() - t0 < min_timed_s
+    ):
+        c, losses = loop(c)
+        loss = float(losses[-1])
+        steps += chunk
     ms = (time.perf_counter() - t0) / steps * 1e3
-    return ms, float(loss)
+    assert loss == loss, (n, d, q, m, t)
+    return ms, loss
 
 
 def main():
