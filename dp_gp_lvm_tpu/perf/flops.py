@@ -29,16 +29,25 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-# TPU v5e single-chip peaks. Spec numbers are public
-# (jax-ml.github.io/scaling-book); the *measured* entries are what THIS
-# chip sustains through the tunnel (experiments/roofline.py, median of
-# distinct-input dependency-chained runs — see that file's methodology
-# note about the relay's content cache).
+# TPU v5e single-chip peaks. Round 5 (results/ceiling_fits.json): every
+# single-window relay measurement carries a ~26 ms fixed per-window
+# cost, so ceilings must come from a two-point fit t(iters) = a + b*
+# iters (the fit is linear to <1% across 16..1024-iteration windows).
+# The r1-r4 constants (bf16 47.7, f32 21.3, hbm 284e9, exp 1.37e12)
+# were single-window values — understated up to 3.5x — which silently
+# FLATTERED every %-of-floor figure computed against them. De-windowed:
 V5E_PEAKS = {
-    "bf16_flops": 47.7e12,    # measured dense bf16/default matmul
-    "f32_flops": 21.3e12,     # measured dense f32 (HIGHEST) matmul
-    "hbm_gbps": 284e9,        # measured bytes/s
-    "exp_per_s": 1.37e12,     # measured chained-exp rate
+    "bf16_flops": 164.6e12,   # fit, 4096^3 default/bf16 pass (84% of
+    #                           the 197e12 public spec)
+    "f32_flops": 30.8e12,     # fit, 4096^3 Precision.HIGHEST
+    #                           (= bf16/5.3: the multi-pass factor)
+    "hbm_gbps": 819e9,        # PUBLIC SPEC. The copy probe's de-
+    #                           windowed rate exceeds spec (scan-level
+    #                           fusion elides a pass), so the spec is
+    #                           the defensible ceiling; a higher BW
+    #                           only SHRINKS the floors we then claim
+    #                           a % of — the conservative direction.
+    "exp_per_s": 3.96e11,     # fit, 8.4M-element exp map
 }
 
 

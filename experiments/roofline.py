@@ -28,25 +28,43 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ITERS = 16
+ITERS = 64   # round 5: 16-iteration windows leave small-row numbers
+#              inflated by the fixed per-window overhead under the
+#              fetch-to-fetch protocol (measured ~2.5 ms/iter of bias at
+#              a 5 ms/step row); 64 cuts that 4x while keeping the
+#              M=128 rows' windows at a few seconds
 
 
 def timed_scan(body, init, iters=ITERS, warmup=True):
     """Seconds per iteration of `carry -> carry` inside one jitted scan.
 
-    Two relay defenses: iterations carry a data dependency inside one
-    jit (queueing can't overlap them), and each TIMED dispatch gets input
+    Three relay defenses: iterations carry a data dependency inside one
+    jit (queueing can't overlap them); each TIMED dispatch gets input
     values distinct from every other dispatch (the relay serves repeated
     identical computations from cache — verified: identical repeat calls
-    'measured' 7000 TFLOP/s matmuls). Median of 3 distinct-input calls.
+    'measured' 7000 TFLOP/s matmuls); and each timed window ends in an
+    actual VALUE FETCH (round 5: `block_until_ready` does not reliably
+    wait for compute on scan programs — carry-only or stacked-output —
+    it returned in ~0.3 ms where >1 s of compute remained; the
+    fetch-to-fetch window is the one protocol agreeing with
+    completed-run wall clocks). Median of 3 distinct-input calls.
     """
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def loop(c):
-        c, _ = jax.lax.scan(lambda c, _: (body(c), None), c, None,
-                            length=iters)
-        return c
+        c, outs = jax.lax.scan(
+            lambda c, _: ((lambda c2: (c2, _scalar_probe(c2)))(body(c))),
+            c, None, length=iters,
+        )
+        return c, outs
+
+    def _scalar_probe(tree):
+        leaves = [x for x in jax.tree_util.tree_leaves(tree)
+                  if hasattr(x, "dtype")
+                  and jnp.issubdtype(x.dtype, jnp.inexact)]
+        return sum(jnp.sum(x) for x in leaves)
 
     def perturb(tree, eps):
         return jax.tree_util.tree_map(
@@ -58,13 +76,15 @@ def timed_scan(body, init, iters=ITERS, warmup=True):
             tree,
         )
 
-    jax.block_until_ready(loop(init))       # compile + one run
+    c, outs = loop(init)                    # compile + one run
+    float(outs[-1])                         # sync: value fetch
     times = []
     for i in range(3):
         ci = perturb(init, 1e-6 * (i + 1))
         jax.block_until_ready(ci)
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(ci))
+        c, outs = loop(ci)
+        float(outs[-1])                     # fetch closes the window
         times.append(time.perf_counter() - t0)
     return sorted(times)[1] / iters
 
@@ -82,23 +102,30 @@ def measure_ceilings():
         return lambda c, k: body(c) + 1e-3 * k
 
     def timed_drift(body, init, iters=ITERS, work=1):
+        # fetch-to-fetch window (round 5): a per-iteration scalar leaves
+        # the scan and the timed window closes on float() of the last
+        # one — block_until_ready alone does not reliably wait for scan
+        # compute on this relay (see timed_scan docstring)
         import time as _t
 
         @jax.jit
         def loop(c):
-            c, _ = jax.lax.scan(
-                lambda c, k: (drift(body)(c, k), None),
-                c, jnp.arange(iters, dtype=jnp.float32),
+            def step(c, k):
+                c2 = drift(body)(c, k)
+                return c2, jnp.sum(c2)
+            return jax.lax.scan(
+                step, c, jnp.arange(iters, dtype=jnp.float32)
             )
-            return c
 
-        jax.block_until_ready(loop(init))
+        c, outs = loop(init)
+        float(outs[-1])
         ts = []
         for i in range(3):
             ci = init * (1.0 + 1e-6 * (i + 1))
             jax.block_until_ready(ci)
             t0 = _t.perf_counter()
-            jax.block_until_ready(loop(ci))
+            c, outs = loop(ci)
+            float(outs[-1])
             ts.append(_t.perf_counter() - t0)
         return sorted(ts)[1] / iters
 
@@ -106,7 +133,14 @@ def measure_ceilings():
     # --- exp/s (8.4M exps per iteration, VMEM-resident tiles) ---
     x = jax.random.uniform(jax.random.PRNGKey(0), (4096, 2048),
                            jnp.float32, 0.1, 0.9)
-    out["exp_per_s"] = x.size / timed_drift(lambda v: jnp.exp(-v), x)
+    # iters=512: per-iteration real work is ~0.2 ms, so the default
+    # 16-iteration window is dominated by the fetch round trip under
+    # the round-5 fetch-to-fetch protocol and read an exp 'ceiling'
+    # 5.6x BELOW the rate the real kernels achieve (4.7e9/s vs the
+    # measured in-kernel 2.6e10/s) — an internal contradiction. The
+    # heavy matmul probes have seconds of work per window and are fine.
+    out["exp_per_s"] = x.size / timed_drift(lambda v: jnp.exp(-v), x,
+                                            iters=512)
 
     # --- MXU TFLOP/s ---
     a = jax.random.normal(jax.random.PRNGKey(0), (4096, 4096), jnp.float32)
@@ -128,24 +162,48 @@ def measure_ceilings():
     ) / 1e12
 
     # --- small-K batched matmul (the Psi2 c-contraction shape) ---
+    # Round-5 probe fix: the r1-r4 probe consumed the (bq, m, m) result
+    # through a [..., :q] slice, which let XLA shrink the contraction to
+    # q output columns — it never measured the claimed shape (its
+    # "0.18 TF/s ceiling" is retracted; de-windowed it read 63 TF/s of
+    # phantom FLOPs). Now EVERY output entry feeds a full reduction that
+    # leaves the scan, and the carry drifts independently so the
+    # contraction input changes per iteration. The probe cost is the
+    # contraction plus one (bq, m, m) reduction (~67 MB read, ~0.1 ms at
+    # spec HBM) — stated, not hidden.
     bq, m, q = 4096, 64, 10
     z = jax.random.normal(jax.random.PRNGKey(2), (m, q), jnp.float32) * 0.1
-
-    def smallk(zb):
-        c = jax.lax.dot_general(
-            zb, z, (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.tanh(c[..., :q])
-
     zb0 = jax.random.normal(jax.random.PRNGKey(1), (bq, m, q), jnp.float32)
+
+    @jax.jit
+    def smallk_loop(zb, iters=256):
+        def body(c, k):
+            cc = jax.lax.dot_general(
+                c, z, (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return c * (1.0 + 1e-9 * k), jnp.sum(cc)
+        return jax.lax.scan(body, zb, jnp.arange(iters, dtype=jnp.float32))
+
+    import time as _t
+
+    c, outs = smallk_loop(zb0)
+    float(outs[-1])
+    ts = []
+    for i in range(3):
+        ci = zb0 * (1.0 + 1e-6 * (i + 1))
+        jax.block_until_ready(ci)
+        t0 = _t.perf_counter()
+        c, outs = smallk_loop(ci)
+        float(outs[-1])
+        ts.append(_t.perf_counter() - t0)
     out["smallk_batched_tflops"] = (
-        2 * bq * m * m * q / timed_drift(smallk, zb0) / 1e12
+        2 * bq * m * m * q / (sorted(ts)[1] / 256) / 1e12
     )
 
     # --- HBM GB/s (read+write 1 GiB per iteration) ---
     big = jnp.full((256, 1024, 1024), 0.5, jnp.float32)
-    dt = timed_drift(lambda v: v * 1.0000001, big, iters=8)
+    dt = timed_drift(lambda v: v * 1.0000001, big, iters=64)
     out["hbm_gbps"] = 2 * big.nbytes / dt / 1e9
     return out
 
