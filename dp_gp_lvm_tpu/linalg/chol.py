@@ -78,6 +78,62 @@ def safe_cholesky(A, policy: JitterPolicy = JitterPolicy()):
     return L, jitter
 
 
+def safe_cholesky_spec(A, policy: JitterPolicy = JitterPolicy()):
+    """Speculate-then-repair safe Cholesky for FULL-BATCH call sites.
+
+    Factors ONCE at the initial jitter and falls back to the escalating
+    `_find_jitter` search only when that factor is non-finite. The
+    fallback predicate reduces over the WHOLE input — batch dims
+    included — so on a batched call (e.g. the (T, M, M) atom stack) it
+    is a SCALAR and `lax.cond` is a real branch: the common path costs
+    exactly one Cholesky. `safe_cholesky`'s unconditional
+    `lax.while_loop` search evaluates an extra factorization in its
+    cond AND blocks XLA from scheduling around the loop: the bench-row
+    bound algebra IN ISOLATION measured 4.28 ms with it vs 0.76 ms
+    without (honest chunked-scan protocol, 2026-08-21). In the full
+    training step XLA overlaps the search chains with the psi work, so
+    the measured END-TO-END effect is smaller — the step lands at
+    4.25 ms, matching the no-search fast_chol bound within noise while
+    keeping the self-repair fallback (isolated component timings do
+    not compose under XLA scheduling; trust marginal A/Bs).
+
+    Do NOT call this under vmap: the per-example predicate lowers the
+    cond to a select and BOTH branches execute every step — keep using
+    `safe_cholesky` there, or restructure the call site to pass the
+    full batch (models/bound.py is batch-polymorphic for exactly this
+    reason). Fallback semantics on a batched call: ONE shared jitter
+    level that makes every batch member finite, vs per-example jitters
+    under the vmapped search — more jitter than strictly needed for
+    healthy batch members in the (rare) repair branch, identical
+    everywhere else. Same (L, jitter) contract; jitter has shape
+    A.shape[:-2].
+    """
+    A = jnp.asarray(A)
+    m = A.shape[-1]
+    eye = jnp.eye(m, dtype=A.dtype)
+    scale = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), axis=-1)
+    scale = jnp.maximum(scale, jnp.asarray(1.0, A.dtype))[..., None, None]
+    scale = lax.stop_gradient(scale)
+    init = jnp.asarray(policy.initial_for(A.dtype), A.dtype)
+
+    if policy.max_tries == 0:
+        L = jnp.linalg.cholesky(A + init * scale * eye)
+        return L, jnp.broadcast_to(init, A.shape[:-2])
+
+    L0 = jnp.linalg.cholesky(A + init * scale * eye)
+    ok = _chol_ok(L0)
+
+    def _good(_):
+        return L0, jnp.broadcast_to(init, A.shape[:-2])
+
+    def _repair(_):
+        jitter = _find_jitter(lax.stop_gradient(A), scale, policy)
+        L = jnp.linalg.cholesky(A + jitter * scale * eye)
+        return L, jnp.broadcast_to(jitter, A.shape[:-2])
+
+    return lax.cond(ok, _good, _repair, None)
+
+
 def tri_solve(L, B, lower: bool = True, trans: bool = False):
     """Solve op(L) X = B for triangular L. Batched over leading dims."""
     return lax.linalg.triangular_solve(

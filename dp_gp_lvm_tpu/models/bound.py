@@ -38,6 +38,7 @@ from dp_gp_lvm_tpu.core.types import JitterPolicy
 from dp_gp_lvm_tpu.linalg import (
     logdet_from_chol,
     safe_cholesky,
+    safe_cholesky_spec,
     tri_solve,
 )
 
@@ -88,28 +89,43 @@ def collapsed_bound(
     noise_var,
     policy: JitterPolicy = JitterPolicy(),
 ) -> BoundTerms:
-    """Per-output-dimension collapsed bound F_d (D,), numerically stable.
+    """Per-output-dimension collapsed bound F_d (..., D), numerically
+    stable.
 
-    kuu: (M, M); noise_var: scalar sigma^2. Batched use: vmap over a leading
-    atom/view axis of (kuu, stats, noise_var).
+    kuu: (..., M, M); noise_var: scalar or (...,). BATCH-POLYMORPHIC
+    (round 5): pass the whole atom stack directly — leading batch dims
+    broadcast through every op and the safe Cholesky runs its
+    speculate-then-repair fast path with a SCALAR fallback predicate
+    (linalg.safe_cholesky_spec). Prefer this over vmapping over atoms:
+    the vmapped jitter-search while_loop measures 4.28 ms vs 0.76 ms
+    for the identical math in isolation on the bench row; in the full
+    step XLA overlap shrinks the difference to ~0.3-0.5 ms, and the
+    batched form matches the no-search fast_chol step time while
+    keeping the self-repair fallback. stats.yty (D,) and stats.n
+    (scalar) are shared across the batch.
     """
     dtype = kuu.dtype
     m = kuu.shape[-1]
-    beta = 1.0 / noise_var
+    noise_var = jnp.asarray(noise_var, dtype)
+    beta = 1.0 / noise_var                          # (...,)
+    beta_mm = beta[..., None, None]
 
-    L, jit_used = safe_cholesky(kuu, policy)
+    L, jit_used = safe_cholesky_spec(kuu, policy)
     # A = beta * L^{-1} Psi2 L^{-T}
-    half = tri_solve(L, stats.psi2)               # L^{-1} Psi2
-    A = beta * tri_solve(L, half.T)               # L^{-1} (L^{-1} Psi2)^T
-    B = jnp.eye(m, dtype=dtype) + 0.5 * (A + A.T)  # symmetrize
-    LB, _ = safe_cholesky(B, policy)
-    logdet_b = logdet_from_chol(LB)
-    trace_a = jnp.trace(A)
+    half = tri_solve(L, stats.psi2)                 # L^{-1} Psi2
+    A = beta_mm * tri_solve(L, jnp.swapaxes(half, -1, -2))
+    B = jnp.eye(m, dtype=dtype) + 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    LB, _ = safe_cholesky_spec(B, policy)
+    logdet_b = logdet_from_chol(LB)                 # (...,)
+    trace_a = jnp.trace(A, axis1=-2, axis2=-1)      # (...,)
 
-    # C = beta * LB^{-1} L^{-1} (Psi1^T Y)   : (M, D);  column d is c_d.
+    # C = beta * LB^{-1} L^{-1} (Psi1^T Y)  : (..., M, D); column d is c_d
     tmp = tri_solve(L, stats.psi1T_y)
-    C = beta * tri_solve(LB, tmp)
-    quad = -0.5 * beta * stats.yty + 0.5 * jnp.sum(C * C, axis=0)  # (D,)
+    C = beta_mm * tri_solve(LB, tmp)
+    quad = (
+        -0.5 * beta[..., None] * stats.yty
+        + 0.5 * jnp.sum(C * C, axis=-2)
+    )                                               # (..., D)
 
     log2pi = jnp.asarray(jnp.log(2.0 * jnp.pi), dtype)
     shared = (
@@ -117,8 +133,8 @@ def collapsed_bound(
         - 0.5 * logdet_b
         - 0.5 * beta * stats.psi0
         + 0.5 * trace_a
-    )
-    per_dim = shared + quad
+    )                                               # (...,)
+    per_dim = shared[..., None] + quad
     return BoundTerms(
         per_dim=per_dim,
         shared=shared,
@@ -133,19 +149,24 @@ def optimal_qu(kuu, stats: SuffStats, noise_var, policy=JitterPolicy()):
     """Optimal collapsed q(u_d) = N(m_d, S_u) for prediction.
 
     Returns (w, Sigma_B_chol_pair) where w = K_uu^{-1} m_d = beta *
-    (K_uu + beta Psi2)^{-1} Psi1^T y_d  (M, D), and the pieces needed for
-    predictive variances: L = chol(K_uu), LB = chol(I + A).
+    (K_uu + beta Psi2)^{-1} Psi1^T y_d  (..., M, D), and the pieces
+    needed for predictive variances: L = chol(K_uu), LB = chol(I + A).
+    Batch-polymorphic like `collapsed_bound` — pass the whole atom
+    stack rather than vmapping (the vmapped jitter search dominates the
+    runtime; see collapsed_bound's docstring).
     """
+    noise_var = jnp.asarray(noise_var, kuu.dtype)
     beta = 1.0 / noise_var
+    beta_mm = beta[..., None, None]
     m = kuu.shape[-1]
-    L, _ = safe_cholesky(kuu, policy)
+    L, _ = safe_cholesky_spec(kuu, policy)
     half = tri_solve(L, stats.psi2)
-    A = beta * tri_solve(L, half.T)
-    B = jnp.eye(m, dtype=kuu.dtype) + 0.5 * (A + A.T)
-    LB, _ = safe_cholesky(B, policy)
+    A = beta_mm * tri_solve(L, jnp.swapaxes(half, -1, -2))
+    B = jnp.eye(m, dtype=kuu.dtype) + 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    LB, _ = safe_cholesky_spec(B, policy)
     # w = beta L^{-T} B^{-1} L^{-1} Psi1^T Y
     tmp = tri_solve(L, stats.psi1T_y)
     tmp = tri_solve(LB, tmp)
     tmp = tri_solve(LB, tmp, trans=True)
-    w = beta * tri_solve(L, tmp, trans=True)      # (M, D)
+    w = beta_mm * tri_solve(L, tmp, trans=True)   # (..., M, D)
     return w, L, LB

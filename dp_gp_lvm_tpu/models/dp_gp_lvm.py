@@ -39,7 +39,11 @@ from dp_gp_lvm_tpu.core.transforms import (
 from dp_gp_lvm_tpu.core.types import JitterPolicy
 from dp_gp_lvm_tpu.distributions import gaussian, stick_breaking
 from dp_gp_lvm_tpu.kernels import ard_rbf
-from dp_gp_lvm_tpu.models.bound import collapsed_bound, suff_stats_from_psi
+from dp_gp_lvm_tpu.models.bound import (
+    SuffStats,
+    collapsed_bound,
+    suff_stats_from_psi,
+)
 from dp_gp_lvm_tpu.ops import dispatch
 from dp_gp_lvm_tpu.train.init import (
     inducing_from_latents,
@@ -138,7 +142,6 @@ def per_dim_atom_bound(
         # whole atom batch into VMEM at once (T x tile > 16 MB)
         import jax as _jax
 
-        from dp_gp_lvm_tpu.models.bound import SuffStats
         from dp_gp_lvm_tpu.ops.pallas.psi import (
             _fwd_block,
             suffstats_batched_fused,
@@ -155,23 +158,26 @@ def per_dim_atom_bound(
         n_const = jnp.asarray(Y.shape[0], Y.dtype)
         yty = jnp.sum(Y * Y, axis=0)
 
-        def atom_bound_p(variance, ard, z, noise, p2, p1y):
-            kuu = dispatch.gram(variance, ard, z, kernel=config.kernel)
-            stats = SuffStats(
-                psi0=ard_rbf.psi0(variance, mu),
-                psi1T_y=p1y,
-                psi2=p2,
-                yty=yty,
-                n=n_const,
+        # gram/psi0 per atom are cheap — vmap them; the bound algebra
+        # runs ONE batched call so the speculative safe Cholesky keeps
+        # a scalar fallback predicate (collapsed_bound docstring: the
+        # vmapped jitter search was 77% of the bench-row step)
+        def atom_pre(variance, ard, z):
+            return (
+                dispatch.gram(variance, ard, z, kernel=config.kernel),
+                ard_rbf.psi0(variance, mu),
             )
-            return collapsed_bound(kuu, stats, noise, policy).per_dim
 
-        return jax.vmap(atom_bound_p)(
-            hyp["variance"], hyp["ard"], hyp["z"], hyp["noise"],
-            p2_all, p1y_all,
-        )  # (T, D)
+        kuu_b, psi0_b = jax.vmap(atom_pre)(
+            hyp["variance"], hyp["ard"], hyp["z"]
+        )
+        stats = SuffStats(psi0=psi0_b, psi1T_y=p1y_all, psi2=p2_all,
+                          yty=yty, n=n_const)
+        return collapsed_bound(
+            kuu_b, stats, hyp["noise"], policy
+        ).per_dim  # (T, D)
 
-    def atom_bound(variance, ard, z, noise):
+    def atom_stats(variance, ard, z):
         with jax.named_scope("psi_stats"):
             p0, p1, p2 = dispatch.psi_stats(
                 variance, ard, mu, s, z, block_n=config.psi2_block,
@@ -179,13 +185,22 @@ def per_dim_atom_bound(
             )
         with jax.named_scope("kuu_gram"):
             kuu = dispatch.gram(variance, ard, z, kernel=config.kernel)
-        with jax.named_scope("collapsed_bound"):
-            stats = suff_stats_from_psi(p0, p1, p2, Y)
-            return collapsed_bound(kuu, stats, noise, policy).per_dim  # (D,)
+        p1y = jnp.dot(p1.T, Y, precision=jax.lax.Precision.HIGHEST)
+        return kuu, p0, p1y, p2
 
-    return jax.vmap(atom_bound)(
-        hyp["variance"], hyp["ard"], hyp["z"], hyp["noise"]
-    )  # (T, D)
+    kuu_b, p0_b, p1y_b, p2_b = jax.vmap(atom_stats)(
+        hyp["variance"], hyp["ard"], hyp["z"]
+    )
+    with jax.named_scope("collapsed_bound"):
+        # ONE batched bound call (not vmapped): see the pallas branch
+        stats = SuffStats(
+            psi0=p0_b, psi1T_y=p1y_b, psi2=p2_b,
+            yty=jnp.sum(Y * Y, axis=0),
+            n=jnp.asarray(Y.shape[0], Y.dtype),
+        )
+        return collapsed_bound(
+            kuu_b, stats, hyp["noise"], policy
+        ).per_dim  # (T, D)
 
 
 def elbo_terms(params, Y, config: Config, policy: JitterPolicy = JitterPolicy()):

@@ -335,20 +335,31 @@ def dp_posterior(params, Y, config: dp_gp_lvm.Config,
     hyp = dp_gp_lvm.constrain(params)
     mu, s = hyp["qx_mean"], hyp["qx_var"]
 
-    def one_atom(variance, ard, z, noise):
+    def one_atom(variance, ard, z):
         p0, p1, p2 = dispatch.psi_stats(
             variance, ard, mu, s, z, block_n=config.psi2_block,
             kernel=config.kernel,
         )
         kuu = dispatch.gram(variance, ard, z, kernel=config.kernel)
-        stats = suff_stats_from_psi(p0, p1, p2, Y)
-        w, L, LB = optimal_qu(kuu, stats, noise, policy)
-        return PosteriorCache(
-            w=w, L=L, LB=LB, variance=variance, ard=ard, z=z, noise=noise
-        )
+        p1y = jnp.dot(p1.T, Y, precision=_HIGHEST)
+        return kuu, p0, p1y, p2
 
-    caches = jax.vmap(one_atom)(
-        hyp["variance"], hyp["ard"], hyp["z"], hyp["noise"]
+    kuu_b, p0_b, p1y_b, p2_b = jax.vmap(one_atom)(
+        hyp["variance"], hyp["ard"], hyp["z"]
+    )
+    # ONE batched optimal_qu (not vmapped): keeps the speculative safe
+    # Cholesky's fallback predicate scalar (models/bound.py round-5)
+    from dp_gp_lvm_tpu.models.bound import SuffStats
+
+    stats = SuffStats(
+        psi0=p0_b, psi1T_y=p1y_b, psi2=p2_b,
+        yty=jnp.sum(Y * Y, axis=0),
+        n=jnp.asarray(Y.shape[0], Y.dtype),
+    )
+    w, L, LB = optimal_qu(kuu_b, stats, hyp["noise"], policy)
+    caches = PosteriorCache(
+        w=w, L=L, LB=LB, variance=hyp["variance"], ard=hyp["ard"],
+        z=hyp["z"], noise=hyp["noise"],
     )
     return caches, hyp["phi"]
 

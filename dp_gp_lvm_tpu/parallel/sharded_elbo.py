@@ -160,15 +160,20 @@ def dp_elbo_sharded(
         )
         stats = _psum_stats(stats, DATA_AXIS)
 
-        def one_atom(p0_t, p1y_t, p2_t, v_t, a_t, z_t, n_t):
-            kuu = dispatch.gram(v_t, a_t, z_t, kernel=config.kernel)
-            st = SuffStats(psi0=p0_t, psi1T_y=p1y_t, psi2=p2_t,
-                           yty=stats.yty, n=stats.n)
-            return collapsed_bound(kuu, st, n_t, policy).per_dim
-
-        f_local = jax.vmap(one_atom)(
-            stats.psi0, stats.psi1T_y, stats.psi2, variance, ard, z, noise
-        )                                             # (Tl, D)
+        # ONE batched bound call over the local atoms (round 5): the
+        # psummed stats are already atom-stacked, and the batched call
+        # keeps the speculative safe Cholesky's fallback predicate
+        # scalar (collapsed_bound docstring — the vmapped jitter search
+        # dominated the single-chip step)
+        kuu_b = jax.vmap(
+            lambda v_t, a_t, z_t: dispatch.gram(
+                v_t, a_t, z_t, kernel=config.kernel
+            )
+        )(variance, ard, z)
+        st = SuffStats(psi0=stats.psi0, psi1T_y=stats.psi1T_y,
+                       psi2=stats.psi2, yty=stats.yty, n=stats.n)
+        f_local = collapsed_bound(kuu_b, st, noise, policy).per_dim
+        #                                             (Tl, D)
         t_index = jax.lax.axis_index(MODEL_AXIS) * t_local
         phi_local = jax.lax.dynamic_slice_in_dim(
             phi, t_index, t_local, axis=1

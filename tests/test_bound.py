@@ -104,3 +104,72 @@ def test_sgpr_predict_equals_exact_gp_at_z_equals_x(np_rng):
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(v_sgpr), np.asarray(v_exact),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_collapsed_bound_batched_equals_vmapped():
+    """Batch-polymorphic collapsed_bound (round 5) == vmapping the
+    per-atom call — per_dim, shared, quad, logdet, trace all equal."""
+    from dp_gp_lvm_tpu.models.bound import SuffStats, collapsed_bound
+
+    rng = jax.random.PRNGKey(3)
+    T, M, D = 4, 12, 7
+    ks = jax.random.split(rng, 5)
+    A0 = jax.random.normal(ks[0], (T, M, M))
+    kuu = A0 @ jnp.swapaxes(A0, 1, 2) / M + 2.0 * jnp.eye(M)
+    P0 = jax.random.normal(ks[1], (T, M, M))
+    psi2 = P0 @ jnp.swapaxes(P0, 1, 2) / M
+    p1y = jax.random.normal(ks[2], (T, M, D))
+    psi0 = jnp.abs(jax.random.normal(ks[3], (T,))) * 50.0
+    yty = jnp.abs(jax.random.normal(ks[4], (D,))) * 50.0
+    noise = jnp.linspace(0.1, 0.4, T)
+    n = jnp.asarray(50.0)
+
+    batched = collapsed_bound(
+        kuu, SuffStats(psi0=psi0, psi1T_y=p1y, psi2=psi2, yty=yty, n=n),
+        noise,
+    )
+
+    def one(k1, p01, p1y1, p21, nv):
+        st = SuffStats(psi0=p01, psi1T_y=p1y1, psi2=p21, yty=yty, n=n)
+        return collapsed_bound(k1, st, nv)
+
+    ref = jax.vmap(one)(kuu, psi0, p1y, psi2, noise)
+    np.testing.assert_allclose(np.asarray(batched.per_dim),
+                               np.asarray(ref.per_dim), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(batched.logdet_b),
+                               np.asarray(ref.logdet_b), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(batched.trace_a),
+                               np.asarray(ref.trace_a), rtol=1e-10)
+
+
+def test_optimal_qu_batched_equals_vmapped():
+    from dp_gp_lvm_tpu.models.bound import SuffStats, optimal_qu
+
+    rng = jax.random.PRNGKey(4)
+    T, M, D = 3, 10, 6
+    ks = jax.random.split(rng, 4)
+    A0 = jax.random.normal(ks[0], (T, M, M))
+    kuu = A0 @ jnp.swapaxes(A0, 1, 2) / M + 2.0 * jnp.eye(M)
+    P0 = jax.random.normal(ks[1], (T, M, M))
+    psi2 = P0 @ jnp.swapaxes(P0, 1, 2) / M
+    p1y = jax.random.normal(ks[2], (T, M, D))
+    yty = jnp.ones((D,))
+    n = jnp.asarray(30.0)
+    noise = jnp.linspace(0.2, 0.5, T)
+
+    st_b = SuffStats(psi0=jnp.ones((T,)), psi1T_y=p1y, psi2=psi2,
+                     yty=yty, n=n)
+    w_b, L_b, LB_b = optimal_qu(kuu, st_b, noise)
+
+    def one(k1, p1y1, p21, nv):
+        st = SuffStats(psi0=jnp.asarray(1.0), psi1T_y=p1y1, psi2=p21,
+                       yty=yty, n=n)
+        return optimal_qu(k1, st, nv)
+
+    w_r, L_r, LB_r = jax.vmap(one)(kuu, p1y, psi2, noise)
+    np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_r),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(L_b), np.asarray(L_r),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(LB_b), np.asarray(LB_r),
+                               rtol=1e-10)
