@@ -108,6 +108,7 @@ def main():
                 tflops_achieved=round(util["tflops_achieved"], 3),
                 mfu_pct=round(util["mfu_pct"], 2),
                 roofline_pct=round(util["roofline_pct"], 1),
+                padded_roofline_pct=round(util["padded_roofline_pct"], 1),
                 binding_floor=util["binding_floor"],
             ))
         except Exception as e:
